@@ -1,0 +1,114 @@
+"""Deterministic toy image codec + perceptual hash for the image payload column.
+
+BASELINE.json's ``input_hint`` makes the payload an Iceberg table of
+``(image_id, bytes:binary, w, h, fmt, caption, phash:int64)`` rows with a
+per-row invariant: decoded pixels allclose vs the reference decode (PSNR ≥ 40 dB
+for lossy formats) and phash match.
+
+Real image libraries (PIL/libvips/ffmpeg) are NOT in this container, so — as the
+build brief directs — the decode step is a clearly-marked deterministic stand-in:
+a tiny container format ``WCSI`` holding raw (fmt 'png', lossless) or 4-level
+quantized (fmt 'jpeg'/'webp', lossy, PSNR ≈ 46 dB) uint8 RGB pixels. Swapping in
+a real codec changes ONLY `encode`/`decode`; the Spark-side plumbing — binary
+columns through Arrow, mapInPandas batch shape, invariant checks — is real and
+is what the engine tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import rng_bytes, stable_hash64
+
+MAGIC = b"WCSI"
+_FMT_CODES = {"png": 0, "jpeg": 1, "webp": 2}
+_FMT_NAMES = {v: k for k, v in _FMT_CODES.items()}
+LOSSY_FMTS = ("jpeg", "webp")
+_Q = 4  # lossy quantization step → max error 2 → PSNR ≈ 46.4 dB ≥ 40 dB
+
+
+def reference_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Ground-truth pixels for *image_id* — deterministic uint8 RGB (h, w, 3)."""
+    buf = rng_bytes(w * h * 3, "pixels", image_id)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode uint8 RGB (h, w, 3) to WCSI container bytes."""
+    if fmt not in _FMT_CODES:
+        raise NotImplementedError(
+            f"format {fmt!r}: real codecs are not available in this sandbox; "
+            "supported stand-in formats are png/jpeg/webp (WCSI container)"
+        )
+    h, w, _ = pixels.shape
+    header = MAGIC + struct.pack("<BII", _FMT_CODES[fmt], w, h)
+    if fmt == "png":
+        payload = pixels.tobytes()
+    else:  # lossy: store quantized levels; decode reconstructs midpoints
+        payload = (pixels // _Q).astype(np.uint8).tobytes()
+    return header + payload
+
+
+def decode(data: bytes) -> tuple[np.ndarray, int, int, str]:
+    """Decode WCSI bytes → (pixels uint8 (h, w, 3), w, h, fmt). Raises on corrupt input."""
+    if len(data) < 13 or data[:4] != MAGIC:
+        raise ValueError("not a WCSI image")
+    code, w, h = struct.unpack("<BII", data[4:13])
+    fmt = _FMT_NAMES.get(code)
+    if fmt is None:
+        raise ValueError(f"unknown format code {code}")
+    body = np.frombuffer(data[13:], dtype=np.uint8)
+    if body.size != w * h * 3:
+        raise ValueError("truncated pixel payload")
+    px = body.reshape(h, w, 3)
+    if fmt != "png":
+        px = np.minimum(px.astype(np.uint16) * _Q + _Q // 2, 255).astype(np.uint8)
+    return px, w, h, fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images; inf if equal."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual average-hash: grayscale → 8×8 block means → >global-mean bits.
+
+    Signed int64 (Spark LongType). Stable under the lossy quantization above.
+    """
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # pad to multiples of 8 then block-mean down to 8×8
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = gray.shape[0] // 8, gray.shape[1] // 8
+    blocks = gray.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_row(image_id: str, seed: int = 42) -> dict:
+    """Deterministic full images-table row for *image_id* (FIXTURES.md §1)."""
+    w = 16 + stable_hash64(seed, "iw", image_id) % 49  # 16..64
+    h = 16 + stable_hash64(seed, "ih", image_id) % 49
+    fmt = ("png", "jpeg", "webp")[stable_hash64(seed, "ifmt", image_id) % 3]
+    px = reference_pixels(image_id, w, h)
+    data = encode(px, fmt)
+    decoded, _, _, _ = decode(data)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "phash": phash64(decoded),
+    }
