@@ -1,0 +1,135 @@
+"""THE correctness gate: the distributed engine must reproduce the pure-Python
+reference-semantics oracle exactly — crawl ordering, seen set, crawl log,
+links — per BASELINE.json's north_rule ("matching the reference's crawl
+ordering and URL-seen set under the same seed list + politeness budget")."""
+
+import json
+
+import pytest
+
+from web_crawler_spark import engine
+from web_crawler_spark.config import JobConfig
+from web_crawler_spark.core import oracle, webgen
+from web_crawler_spark.core.robots import generate_rules, rules_by_host
+
+CFG = webgen.t1_config()
+RULES = rules_by_host(generate_rules(CFG))
+JOB = JobConfig(job_id=1, start_url="http://site0.test/p/0", max_pages=60, max_depth=3, delay=0.0)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return oracle.simulate(JOB, CFG, RULES)
+
+
+def run_engine(spark, tmp_path, job=JOB, **kw):
+    return engine.crawl(spark, job, CFG, RULES, str(tmp_path / "run"), **kw)
+
+
+def assert_matches_oracle(spark, run, res):
+    # 1. crawl ordering: seen table ordered by seq == oracle admission order
+    seen = run.read(spark, "seen").orderBy("seq").select("seq", "url").collect()
+    engine_order = [r["url"] for r in seen]
+    assert engine_order == res.crawl_order()
+    assert [r["seq"] for r in seen] == list(range(len(engine_order)))
+
+    # 2. final URL-seen set — exact equality
+    assert set(engine_order) == res.visited
+
+    # 3. crawl_log: same pages, same global order, same parsed fields
+    log = run.read(spark, "crawl_log").orderBy("schedule_rank").collect()
+    assert [r["url"] for r in log] == [p["url"] for p in res.crawl_log]
+    assert [r["schedule_rank"] for r in log] == [p["seq"] for p in res.crawl_log]
+    for row, exp in zip(log, res.crawl_log):
+        assert row["depth"] == exp["depth"]
+        assert row["status_code"] == exp["status_code"]
+        assert row["title"] == exp["title"]
+        assert row["metadata"].asDict() == exp["metadata"]
+        assert {k: list(v) for k, v in row["headings"].items()} == exp["headings"]
+        assert row["content"].asDict() == exp["content"]
+        assert row["payload"]["image_id"] == exp["image_id"]
+        assert row["payload"]["caption"] == exp["caption"]
+
+    # 4. links: identical multiset of rows with per-page order + "" coalescing
+    links = run.read(spark, "links").select(
+        "from_url", "to_url", "link_text", "link_idx", "from_depth"
+    ).collect()
+    got = sorted(tuple(r) for r in links)
+    exp = sorted(
+        (l["from_url"], l["to_url"], l["link_text"], l["link_idx"], l["from_depth"])
+        for l in res.links
+    )
+    assert got == exp
+
+    # 5. outcome stats equal the reference's run counters
+    from pyspark.sql import functions as F
+
+    oc = {
+        r["outcome"]: r["cnt"]
+        for r in run.read(spark, "outcomes").groupBy("outcome").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert oc.get("parsed", 0) == res.stats["pages_successful"]
+    assert oc.get("failed", 0) == res.stats["pages_failed"]
+
+
+def test_engine_matches_oracle_level_bfs(spark, tmp_path, golden):
+    """budget=None → level-synchronous BFS rounds."""
+    run = run_engine(spark, tmp_path)
+    assert_matches_oracle(spark, run, golden)
+
+
+def test_engine_matches_oracle_with_politeness_budget(spark, tmp_path, golden):
+    """A finite FIFO budget chunks rounds differently but MUST leave the crawl
+    ordering and seen set identical (the virtual-clock politeness contract)."""
+    run = run_engine(spark, tmp_path, budget=7)
+    assert run.rounds > 3  # budget actually split the levels
+    assert_matches_oracle(spark, run, golden)
+
+
+def test_engine_bloom_prefilter_changes_nothing(spark, tmp_path, golden):
+    """Bloom false positives may only cost time, never results (SURVEY §5.3)."""
+    run = run_engine(spark, tmp_path, use_bloom=True)
+    assert_matches_oracle(spark, run, golden)
+
+
+def test_engine_page_cap_exact(spark, tmp_path):
+    job = JobConfig(job_id=2, start_url="http://site0.test/p/0", max_pages=5, max_depth=4, delay=0.0)
+    res = oracle.simulate(job, CFG, RULES)
+    run = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "cap"))
+    seen = run.read(spark, "seen").orderBy("seq").select("url").collect()
+    assert [r["url"] for r in seen] == res.crawl_order()
+    assert len(seen) == 5
+
+
+def test_engine_per_host_politeness_invariants(spark, tmp_path):
+    """per_host mode is the scale generalization (north_star: host-bucketed
+    priority queue). It must respect the per-host per-round quota and stay
+    deterministic; order within a host must remain FIFO."""
+    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
+    run = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "ph"),
+                       budget=3, politeness_mode="per_host")
+    from pyspark.sql import functions as F
+
+    outc = run.read(spark, "outcomes")
+    per = outc.groupBy("round", F.parse_url("url", F.lit("HOST")).alias("host")).count()
+    assert per.agg(F.max("count")).first()[0] <= 3
+    # within a host, processing round order must follow seq order (FIFO per host)
+    rows = outc.select("url", "round", "seq").collect()
+    by_host = {}
+    for r in rows:
+        from urllib.parse import urlparse
+
+        by_host.setdefault(urlparse(r["url"]).netloc, []).append((r["seq"], r["round"]))
+    for host, pairs in by_host.items():
+        pairs.sort()
+        rounds = [rd for _, rd in pairs]
+        assert rounds == sorted(rounds), host
+
+
+def test_engine_resume_from_snapshot(spark, tmp_path, golden):
+    """Kill after round k, resume → byte-identical final tables (SURVEY §5.7)."""
+    path = str(tmp_path / "resume")
+    run1 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, max_rounds=3)
+    assert run1.rounds == 3  # stopped mid-crawl
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
+    assert_matches_oracle(spark, run2, golden)

@@ -1,0 +1,136 @@
+"""Snapshot-table layer: Iceberg-shaped commit semantics on plain parquet.
+
+The reference autocommits every SQL statement (``Crawler/database.py:58``); the
+north_rule requires something strictly stronger — atomic per-round commits with
+resume-from-snapshot. Real deployments use Iceberg (``df.writeTo(t).append()``,
+snapshot = checkpoint); this container has no Iceberg runtime jar, so this
+module provides the same contract on parquet:
+
+- a table is a directory of immutable snapshot dirs plus a JSON manifest
+- a commit writes data first, then atomically renames a tmp manifest over the
+  old one (readers never see partial state)
+- ``append`` adds a snapshot; ``overwrite`` adds a snapshot that supersedes all
+  prior ones (Iceberg's dynamic overwrite)
+- resume = read the manifest as of the last committed round
+
+Swapping this for Iceberg changes only this file: the engine talks in
+append/overwrite/read/rollback terms.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    mode: str  # 'append' | 'overwrite'
+    round: int
+    path: str
+    rows: int
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.name = name
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "_manifest.json")
+
+    def _load(self) -> list[dict]:
+        if not os.path.exists(self._manifest_path):
+            return []
+        with open(self._manifest_path) as f:
+            return json.load(f)["snapshots"]
+
+    def _commit(self, snapshots: list[dict]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_manifest_tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"snapshots": snapshots, "committed_at": time.time()}, f)
+        os.replace(tmp, self._manifest_path)  # atomic on POSIX
+
+    # -- public API --------------------------------------------------------
+    def write(self, df: DataFrame, round: int, mode: str = "append") -> Snapshot:
+        snaps = self._load()
+        sid = (max((s["snapshot_id"] for s in snaps), default=0)) + 1
+        path = os.path.join(self.dir, f"snap-{sid:06d}")
+        df.write.mode("errorifexists").parquet(path)
+        rows = -1  # avoid an extra count job; fill lazily if needed
+        snaps.append(
+            {"snapshot_id": sid, "mode": mode, "round": round, "path": path, "rows": rows}
+        )
+        self._commit(snaps)
+        return Snapshot(sid, mode, round, path, rows)
+
+    def live_paths(self, as_of_round: Optional[int] = None) -> list[str]:
+        """Snapshot paths contributing to the current (or as-of-round) state."""
+        snaps = self._load()
+        if as_of_round is not None:
+            snaps = [s for s in snaps if s["round"] <= as_of_round]
+        live: list[dict] = []
+        for s in snaps:  # manifest order == commit order
+            if s["mode"] == "overwrite":
+                live = [s]
+            else:
+                live.append(s)
+        return [s["path"] for s in live]
+
+    def read(
+        self,
+        spark: SparkSession,
+        as_of_round: Optional[int] = None,
+        schema=None,
+    ) -> Optional[DataFrame]:
+        """Read the live state. Pass *schema* so snapshots written from empty
+        DataFrames (no part files, just _SUCCESS) still resolve."""
+        paths = self.live_paths(as_of_round)
+        if not paths:
+            return None
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(*paths)
+
+    def rollback_to_round(self, round: int) -> None:
+        """Drop snapshots committed after *round* (crash-resume cleanup)."""
+        snaps = self._load()
+        keep = [s for s in snaps if s["round"] <= round]
+        dropped = [s for s in snaps if s["round"] > round]
+        self._commit(keep)
+        for s in dropped:
+            shutil.rmtree(s["path"], ignore_errors=True)
+
+    def exists(self) -> bool:
+        return bool(self._load())
+
+
+class RunState:
+    """Tiny per-job driver state (round, next_seq, seen_count) committed
+    atomically at each round boundary alongside the table snapshots — the
+    resume point. In Iceberg terms: snapshot summary properties."""
+
+    def __init__(self, root: str):
+        self.path = os.path.join(root, "_run_state.json")
+
+    def save(self, state: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path), prefix="_state_tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+    def load(self) -> Optional[dict]:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f)

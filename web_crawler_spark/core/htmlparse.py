@@ -55,6 +55,7 @@ _RE_STRIP_BLOCKS = re.compile(r"<(script|style|noscript)\b.*?</\1>", re.S)
 _RE_ANCHOR = re.compile(r'<a href="(.*?)"(?: title="(.*?)")?>(.*?)</a>', re.S)
 _RE_ANCHOR_COUNT = re.compile(r"<a [^>]*href=")
 _RE_IMG = re.compile(r"<img\b")
+_RE_IMG_PAYLOAD = re.compile(r'<img src="/img/(im[0-9a-f]+)\.bin" alt="(.*?)">')
 _RE_FORM = re.compile(r"<form\b")
 _RE_WS = re.compile(r"\s+")
 
@@ -118,6 +119,13 @@ def parse_content(html: str) -> dict[str, object]:
         "forms_count": len(_RE_FORM.findall(stripped)),
         "paragraphs_count": len(text_parts),
     }
+
+
+def parse_payload(html: str) -> tuple[Optional[str], Optional[str]]:
+    """(image_id, caption) from the page's payload <img> tag (the image+caption
+    pair the graft's input_hint centers on); (None, None) if absent."""
+    m = _RE_IMG_PAYLOAD.search(html)
+    return (m.group(1), m.group(2)) if m else (None, None)
 
 
 def parse_raw_anchors(html: str) -> list[tuple[str, str, Optional[str]]]:

@@ -110,7 +110,7 @@ def simulate(job: JobConfig, cfg: webgen.WebConfig, rules: RulesByHost) -> Oracl
             continue
 
         page = htmlparse.parse_page(html, url, domain)
-        spec = webgen.page_spec(url, cfg)
+        image_id, caption = htmlparse.parse_payload(html)
         res.crawl_log.append(
             {
                 "seq": my_seq,
@@ -121,7 +121,8 @@ def simulate(job: JobConfig, cfg: webgen.WebConfig, rules: RulesByHost) -> Oracl
                 "metadata": page.metadata,
                 "headings": page.headings,
                 "content": page.content,
-                "image_id": spec.image_id,
+                "image_id": image_id,
+                "caption": caption,
             }
         )
         for link in page.links:
