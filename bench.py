@@ -1,0 +1,106 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "crawl": {"urls": N, "sec": s, "urls_per_sec": r}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     WCS_BENCH_CRAWL_URLS (synthetic-web size for the crawl-throughput leg).
+
+Each query executes end-to-end to a noop sink (full plan, no driver collect
+cost). The crawl leg runs the actual frontier/scheduler engine on the
+deterministic synthetic web and reports frontier URLs scheduled+fetched/sec —
+the BASELINE.json metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "frontier_schedule",
+    "pricing_summary",
+    "ship_priority",
+    "region_volume",
+    "hourly_rollup",
+    "links_per_page",
+    "first_occurrence",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "text_fingerprint",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+    "multimodal_features",
+]
+
+
+def run_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.time()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def run_crawl(spark, n_urls: int) -> dict:
+    from web_crawler_spark import engine
+    from web_crawler_spark.config import JobConfig
+    from web_crawler_spark.core import webgen
+    from web_crawler_spark.core.robots import generate_rules, rules_by_host
+
+    cfg = webgen.make_config(n_sites=8, subdomains=("", "docs."),
+                             base_pages=max(64, n_urls // 16), skew=0.5,
+                             mean_outlinks=12)
+    rules = rules_by_host(generate_rules(cfg))
+    job = JobConfig(job_id=99, start_url="http://site0.test/p/0",
+                    max_pages=n_urls, max_depth=30, delay=0.0)
+    storage = tempfile.mkdtemp(prefix="wcs_bench_")
+    try:
+        t0 = time.time()
+        run = engine.crawl(spark, job, cfg, rules, storage)
+        sec = time.time() - t0
+        n = run.read(spark, "outcomes").count()
+        return {"urls": n, "sec": round(sec, 2),
+                "urls_per_sec": round(n / sec, 1), "rounds": run.rounds}
+    finally:
+        shutil.rmtree(storage, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    n_crawl = int(os.environ.get("WCS_BENCH_CRAWL_URLS", "3000"))
+
+    from web_crawler_spark.analytics import QUERIES
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="wcs-bench")
+    # warm the JVM/codegen path once so per-query times measure the plan
+    QUERIES["export_stats"](spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run_query(spark, QUERIES[name], sf_dir), 3)
+
+    crawl = run_crawl(spark, n_crawl)
+    total = round(sum(times.values()) + crawl["sec"], 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (queries + crawl leg)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl": crawl,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,352 @@
+"""Deduplication operators for the training-data pipeline, over `documents`.
+
+Four tiers, each a (Spark plan, DuckDB oracle) pair:
+
+- exact:        md5-fingerprint group-by (hash dedup)
+- ngram_jaccard: word-3-gram shingle sets, all-pairs Jaccard via a shingle
+                 self-join (the exact baseline the approximate tiers bound)
+- minhash_lsh:  16 md5-permutation minhashes -> 8 bands x 2 rows ->
+                 band-bucket join for candidates -> exact-Jaccard verify
+- simhash:      64-bit simhash (token-frequency-weighted md5 bits) stored as
+                 4x16-bit blocks; candidates share >=1 block; Hamming filter
+
+All hashing is md5-based so the DuckDB oracle reproduces the Spark plan
+bit-for-bit (lexicographic min over md5 hex == a uniform permutation minhash).
+Everything stays JVM-side in Spark — no Python UDFs anywhere.
+
+Scale notes: the shingle self-join is the classic quadratic trap; LSH bounds
+it (candidates only within band buckets). On 100 TB the band join shuffles on
+(band, band_key) — uniform by construction — and the exact-verify join only
+touches candidate pairs. Simhash block join is 4 rows/doc, uniformly hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import table
+
+N_HASHES = 16
+N_BANDS = 8
+ROWS_PER_BAND = 2
+JACCARD_T = 0.5
+HAMMING_T = 12
+
+# ---------------------------------------------------------------------------
+# shared shingle / token fragments
+# ---------------------------------------------------------------------------
+
+_WORDS = r"split(lower(trim(text)), '\\s+')"
+# 3-gram shingles, distinct, guarded for <3-word docs (Spark's sequence()
+# DESCENDS when start > stop — the guard is semantics, not style)
+_SHINGLES = (
+    f"CASE WHEN size({_WORDS}) >= 3 THEN "
+    f"array_distinct(transform(sequence(1, size({_WORDS}) - 2), "
+    f"i -> concat_ws(' ', slice({_WORDS}, i, 3)))) "
+    f"ELSE array() END"
+)
+
+SQL_WORDS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+SQL_SHINGLE_CTE = f"""
+shingle AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len({SQL_WORDS}) >= 3 THEN
+      [array_to_string(({SQL_WORDS})[i:i+2], ' ')
+       FOR i IN generate_series(1, len({SQL_WORDS}) - 2)]
+    ELSE [] END)) AS sh
+  FROM documents
+),
+shcount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """All candidate pairs sharing >=1 shingle with exact Jaccard columns."""
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.lower(F.trim("text"))).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(_shingles_df(spark, sf_dir))
+    return pairs.filter(F.col("jaccard") >= JACCARD_T).select(
+        "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLE_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN shcount ca ON ca.doc_id = doc_a
+JOIN shcount cb ON cb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"), ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = _jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_SHINGLE_CTE},
+mh AS (
+  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
+  FROM shingle, (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {ROWS_PER_BAND} AS INT) AS band,
+         string_agg(mh, '|' ORDER BY i) AS band_key
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+  FROM inter
+  JOIN shcount ca ON ca.doc_id = doc_a
+  JOIN shcount cb ON cb.doc_id = doc_b
+)
+SELECT c.doc_a, c.doc_b, e.jaccard
+FROM cand c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+WHERE e.jaccard >= {JACCARD_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash fingerprints + near-dup pairs
+# ---------------------------------------------------------------------------
+
+# per-token 64-weight array: weight_j = cnt * (2*bit_j(md5(tok)) - 1)
+_WEIGHTS = (
+    "transform(sequence(0, 63), j -> "
+    "cnt * (2 * ((cast(conv(substring(h, cast(j div 4 as int) + 1, 1), 16, 10) as bigint) "
+    "div cast(pow(2, 3 - j % 4) as bigint)) % 2) - 1))"
+)
+# fold token weight arrays into the per-doc 64-bit sign vector
+_SIGNSUM = (
+    "aggregate(collect_list(warr), "
+    "transform(sequence(0, 63), j -> cast(0 as bigint)), "
+    "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5("tok"))
+        .withColumn("warr", F.expr(_WEIGHTS))
+    )
+    sig = toks.groupBy("doc_id").agg(F.expr(_SIGNSUM).alias("sarr"))
+    bits = sig.withColumn(
+        "bits", F.expr("transform(sarr, s -> CASE WHEN s > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END)")
+    )
+    block = lambda k: F.expr(
+        f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> acc * 2 + element_at(bits, {k * 16} + j + 1))"
+    ).alias(f"b{k}")
+    return bits.select("doc_id", block(0), block(1), block(2), block(3))
+
+
+SQL_SIMHASH_CTE = rf"""
+toks AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+  FROM (SELECT doc_id, unnest({SQL_WORDS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+bitsum AS (
+  SELECT doc_id, j,
+         SUM(cnt * (2 * ((CAST(('0x' || substring(h, CAST(j // 4 AS INT) + 1, 1)) AS BIGINT)
+                          // (CAST(1 AS BIGINT) << CAST(3 - (j % 4) AS INT))) % 2) - 1)) AS s
+  FROM toks, (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY doc_id, j
+),
+blocks AS (
+  SELECT doc_id, CAST(j // 16 AS INT) AS k,
+         CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                  * (CAST(1 AS BIGINT) << CAST(15 - (j % 16) AS INT))) AS BIGINT) AS blk
+  FROM bitsum GROUP BY doc_id, 2
+),
+simhash AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN blk END) AS b0,
+         max(CASE WHEN k = 1 THEN blk END) AS b1,
+         max(CASE WHEN k = 2 THEN blk END) AS b2,
+         max(CASE WHEN k = 3 THEN blk END) AS b3
+  FROM blocks GROUP BY doc_id
+)
+"""
+
+
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir)
+
+
+SQL_TEXT_SIMHASH = f"WITH {SQL_SIMHASH_CTE} SELECT doc_id, b0, b1, b2, b3 FROM simhash"
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_df(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("k"), F.col("b0").alias("blk")),
+                F.struct(F.lit(1).alias("k"), F.col("b1").alias("blk")),
+                F.struct(F.lit(2).alias("k"), F.col("b2").alias("blk")),
+                F.struct(F.lit(3).alias("k"), F.col("b3").alias("blk")),
+            )
+        ).alias("kb"),
+    ).select("doc_id", F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk"))
+    cand = (
+        blocks.select(F.col("doc_id").alias("doc_a"), "k", "blk")
+        .join(blocks.select(F.col("doc_id").alias("doc_b"), "k", "blk"), ["k", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(*[F.col(c).alias(c + "_a") for c in sig.columns])
+    sb = sig.select(*[F.col(c).alias(c + "_b") for c in sig.columns])
+    hamming = sum(
+        F.bit_count(F.col(f"b{k}_a").bitwiseXOR(F.col(f"b{k}_b"))) for k in range(4)
+    )
+    return (
+        cand.join(sa, cand.doc_a == sa.doc_id_a)
+        .join(sb, cand.doc_b == sb.doc_id_b)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH {SQL_SIMHASH_CTE},
+blk AS (
+  SELECT doc_id, k, CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS blk
+  FROM simhash, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blk a JOIN blk b ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+          + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) AS INT) AS hamming
+FROM cand c
+JOIN simhash sa ON sa.doc_id = c.doc_a
+JOIN simhash sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3)) <= {HAMMING_T}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "text_simhash": text_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+    "text_simhash": SQL_TEXT_SIMHASH,
+    "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+}

@@ -1,0 +1,534 @@
+"""SURVEY.md §2 relational operators re-expressed over the driver test tables.
+
+Every query here is the Spark-first form of a concrete reference operator
+(citations per entry), paired with a DuckDB oracle in ``ORACLES``. Shared
+conventions for oracle parity:
+
+- every computed column is explicitly aliased identically on both sides;
+- timestamps are emitted as formatted strings (engine-neutral hashing);
+- double SUM/AVG go through decimal (see common.dsum) so the value is
+  independent of reduction order — mandatory on a 1000-executor cluster where
+  partial-aggregate order is nondeterministic;
+- top-k queries carry a unique total-order tiebreak so LIMIT is a set, not a
+  race.
+
+Scale notes are inline: which side broadcasts, where the shuffle lands, and
+why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import dsum, dsum_expr, sql_dsum, table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ---------------------------------------------------------------------------
+# Flagship: one crawl scheduling round as a single declarative plan.
+# frontier := events (event_id=url, user_id=host, ts=priority);
+# seen := event_id % 7 == 0. Anti-join (J5, crawler.py:556) → per-host
+# politeness rank (§2.5 generalization of crawler.py:637-638) → global
+# admission cap by priority order (crawler.py:619-622).
+# Scale: the anti-join shuffles on event_id (AQE handles skew); the per-host
+# window shuffles once on user_id; the final cap is a TakeOrdered (no global
+# sort materialized).
+# ---------------------------------------------------------------------------
+
+def frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_id") % 7 == 0).select("event_id")
+    cand = ev.join(seen, "event_id", "left_anti")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = cand.withColumn("host_rank", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("host_rank") <= 3)
+        .select(
+            "event_id",
+            F.col("user_id").alias("host"),
+            F.date_format("ts", TS_FMT_SPARK).alias("priority_ts"),
+            "host_rank",
+        )
+        .orderBy("priority_ts", "event_id")
+        .limit(1000)
+    )
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+WITH cand AS (
+  SELECT * FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM events s
+                    WHERE s.event_id % 7 = 0 AND s.event_id = e.event_id)
+), ranked AS (
+  SELECT event_id, user_id AS host,
+         strftime(ts, '{TS_FMT_DUCK}') AS priority_ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS host_rank
+  FROM cand
+)
+SELECT event_id, host, priority_ts, host_rank
+FROM ranked WHERE host_rank <= 3
+ORDER BY priority_ts, event_id LIMIT 1000
+"""
+
+
+# --- J5: the seen-set anti-join in isolation (customers with no orders) ----
+
+def seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return o.join(
+        l.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+SQL_SEEN_ANTIJOIN = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# --- J1: jobs x users enrich (broadcast the small dimension) ---------------
+
+def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    # customer is the reference's `users` side: small, broadcast (database.py:316-322)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+SQL_ENRICH_JOIN = """
+SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o_orderstatus = 'O'
+"""
+
+
+# --- J2/A1: jobs left-join page counts (database.py:331-348) ---------------
+
+def pages_per_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    return (
+        c.join(counts, c.c_custkey == counts.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+SQL_PAGES_PER_JOB = """
+SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+# --- J4 rewrite/A2: per-page link stats as ONE grouped agg (not N+1) -------
+
+def links_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_links"),
+        dsum("l_quantity", "total_qty"),
+    )
+
+
+SQL_LINKS_PER_PAGE = f"""
+SELECT l_orderkey, count(*) AS n_links, {sql_dsum('l_quantity', 'total_qty')}
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --- A4: export statistics (app.py:431-436) --------------------------------
+
+def export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+SQL_EXPORT_STATS = """
+SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+"""
+
+
+# --- A5: status breakdown with % shares (dashboard/admin_panel) ------------
+
+def status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "o_orderstatus",
+        "cnt",
+        (F.col("cnt") * 100.0 / F.sum("cnt").over(total)).alias("share_pct"),
+    )
+
+
+SQL_STATUS_BREAKDOWN = """
+SELECT o_orderstatus, count(*) AS cnt,
+       count(*) * 100.0 / sum(count(*)) OVER () AS share_pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- O2: top-k most-recent (TakeOrdered; database.py:361-367) --------------
+
+def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(100)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+    )
+
+
+SQL_TOPK_RECENT = f"""
+SELECT event_id, user_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+# --- J3/O4: the link-graph join with multi-key sort (database.py:540-550) --
+
+def linkgraph_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .orderBy("o_orderdate", "l_orderkey", "l_linenumber")
+        .limit(500)
+        .select(
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_date"),
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+        )
+    )
+
+
+SQL_LINKGRAPH_SORT = f"""
+SELECT strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_date,
+       l_orderkey, l_linenumber, l_partkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ORDER BY o_orderdate, l_orderkey, l_linenumber LIMIT 500
+"""
+
+
+# --- §2.5: the page-cap admission window (crawler.py:619-622) --------------
+
+def admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # cumulative admission rank over the global priority order; <= cap keeps
+    # the reference's mid-level truncation semantics. At scale this exact
+    # pattern runs through engine.global_rank (two-phase, no single-partition
+    # window); here the declarative window states the semantics.
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("admission_rank", F.row_number().over(w))
+        .filter(F.col("admission_rank") <= 500)
+        .select("event_id", "admission_rank")
+    )
+
+
+SQL_ADMISSION_CAP = """
+SELECT event_id, admission_rank FROM (
+  SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS admission_rank
+  FROM events WHERE event_type = 'view'
+) WHERE admission_rank <= 500
+"""
+
+
+# --- J6: first-occurrence dedup (crawler.py:429-430) -----------------------
+
+def first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+        )
+    )
+
+
+SQL_FIRST_OCCURRENCE = """
+SELECT user_id, event_type, event_id AS first_event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS _rn
+  FROM events
+) WHERE _rn = 1
+"""
+
+
+# --- F1-F4: the parse-stage string pipeline (crawler.py:352-396,460-462) ---
+
+def content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.substring(norm, 1, 100).alias("title"),
+        F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).alias("word_count"),
+        F.length("text").alias("char_count"),
+        F.length(norm).alias("norm_char_count"),
+    )
+
+
+SQL_CONTENT_STATS = r"""
+SELECT doc_id,
+       substring(norm, 1, 100) AS title,
+       CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS word_count,
+       length(text) AS char_count,
+       length(norm) AS norm_char_count
+FROM (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+      FROM documents)
+"""
+
+
+# --- §2.8 scalar-function surface (dates, math, case-when, JSON edge) ------
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    attempt = (F.col("o_orderkey") % 6).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "dd.MM HH:mm").alias("date_str"),
+        # retry backoff: min(60, 2**(attempt+1)) — crawler.py:161
+        F.least(F.lit(60.0), F.pow(F.lit(2.0), (attempt + 1).cast("double"))).alias("backoff_s"),
+        # F8 status-class predicate
+        F.when(F.col("o_orderstatus") == "F", "success")
+        .when(F.col("o_orderstatus") == "O", "warning")
+        .otherwise("danger")
+        .alias("status_class"),
+        # progress clamp: min(90, floor(x)) — crawler.py:498
+        F.least(F.lit(90).cast("long"), F.floor(F.col("o_totalprice") / 1000.0)).alias("progress"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+    )
+
+
+SQL_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%d.%m %H:%M') AS date_str,
+       least(60.0, pow(2.0, CAST((o_orderkey % 6) + 1 AS DOUBLE))) AS backoff_s,
+       CASE WHEN o_orderstatus = 'F' THEN 'success'
+            WHEN o_orderstatus = 'O' THEN 'warning'
+            ELSE 'danger' END AS status_class,
+       least(CAST(90 AS BIGINT), CAST(floor(o_totalprice / 1000.0) AS BIGINT)) AS progress,
+       lower(o_orderpriority) AS prio_lower
+FROM orders
+"""
+
+
+# --- JSON document edge (§1.2 JSONB — to_json/from_json only at the edge) --
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    ).filter(F.col("prop_k") > 50)
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+"""
+
+
+# --- headline aggregation: TPC-H Q1-shaped pricing summary -----------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_expr(disc_price, "sum_disc_price"),
+            dsum_expr(charge, "sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- headline join: TPC-H Q3-shaped shipping priority ----------------------
+
+def ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue, "revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIP_PRIORITY = f"""
+SELECT l_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_date,
+       o_orderpriority,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+# --- headline multi-join: TPC-H Q5-shaped regional volume ------------------
+
+def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(dims, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum_expr(revenue, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_REGION_VOLUME = f"""
+SELECT r_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- streaming-analog: event-time tumbling-window rollup -------------------
+
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # batch form of the Structured Streaming windowed agg
+    # (streaming/stream_rollup.py runs the same plan over readStream)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.date_format("hour", TS_FMT_SPARK).alias("hour_str"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_HOURLY_ROLLUP = f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS hour_str,
+       event_type, count(*) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+QUERIES = {
+    "frontier_schedule": frontier_schedule,
+    "seen_antijoin": seen_antijoin,
+    "enrich_join": enrich_join,
+    "pages_per_job": pages_per_job,
+    "links_per_page": links_per_page,
+    "export_stats": export_stats,
+    "status_breakdown": status_breakdown,
+    "topk_recent": topk_recent,
+    "linkgraph_sort": linkgraph_sort,
+    "admission_cap": admission_cap,
+    "first_occurrence": first_occurrence,
+    "content_stats": content_stats,
+    "scalar_funcs": scalar_funcs,
+    "json_extract": json_extract,
+    "pricing_summary": pricing_summary,
+    "ship_priority": ship_priority,
+    "region_volume": region_volume,
+    "hourly_rollup": hourly_rollup,
+}
+
+ORACLES = {
+    "frontier_schedule": SQL_FRONTIER_SCHEDULE,
+    "seen_antijoin": SQL_SEEN_ANTIJOIN,
+    "enrich_join": SQL_ENRICH_JOIN,
+    "pages_per_job": SQL_PAGES_PER_JOB,
+    "links_per_page": SQL_LINKS_PER_PAGE,
+    "export_stats": SQL_EXPORT_STATS,
+    "status_breakdown": SQL_STATUS_BREAKDOWN,
+    "topk_recent": SQL_TOPK_RECENT,
+    "linkgraph_sort": SQL_LINKGRAPH_SORT,
+    "admission_cap": SQL_ADMISSION_CAP,
+    "first_occurrence": SQL_FIRST_OCCURRENCE,
+    "content_stats": SQL_CONTENT_STATS,
+    "scalar_funcs": SQL_SCALAR_FUNCS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "ship_priority": SQL_SHIP_PRIORITY,
+    "region_volume": SQL_REGION_VOLUME,
+    "hourly_rollup": SQL_HOURLY_ROLLUP,
+}

@@ -1,0 +1,203 @@
+"""Similarity search over the `embeddings` table (array<float>, dim 64).
+
+- embed_cosine_topk: brute-force cosine top-k (the exactness baseline)
+- embed_neardup:     all-pairs cosine >= threshold (embedding near-dup dedup)
+- embed_lsh_ann:     8-hyperplane sign-LSH bucketing -> top-k within bucket
+                     (the scale path: at 10^10 vectors the crossjoin dies;
+                     bucket join shuffles on an 8-bit key instead)
+
+Numeric discipline: dot products are computed as an explicit sequential
+left-fold over index order in BOTH engines (zip_with+aggregate in Spark, an
+indexed list comprehension + list_sum in DuckDB) so the floating sum is
+order-identical; similarities are rounded to 6 dp before ranking/thresholding
+and ranks are tie-broken by vec_id, making the output integer-exact.
+All JVM-side expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import table
+
+DIM = 64
+N_QUERIES = 32
+TOP_K = 5
+NEARDUP_T = 0.35
+N_PLANES = 8
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {DIM})])"
+    )
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a=vec, b=vec))))
+
+
+_SQL_NORMED = f"""
+normed AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+"""
+
+
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
+    sim = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+SQL_EMBED_COSINE_TOPK = f"""
+WITH {_SQL_NORMED},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
+  FROM normed q JOIN normed c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                 F.col("nrm").alias("na"), F.col("label").alias("label_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                 F.col("nrm").alias("nb"), F.col("label").alias("label_b"))
+    sim = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_T)
+        .select("vec_a", "vec_b", "sim", "label_a", "label_b")
+    )
+
+
+SQL_EMBED_NEARDUP = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, label, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS sim,
+       a.label AS label_a, b.label AS label_b
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {NEARDUP_T}
+"""
+
+
+# deterministic pseudo-random hyperplane component p (plane) x i (dim):
+# first 8 md5 hex chars centered on 2^31 — identical in both engines
+_PLANE = "(cast(conv(substring(md5(concat('{p}', '|', cast(i as string))), 1, 8), 16, 10) as double) - 2147483648.0)"
+
+
+def _bucket_expr() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        comp = _PLANE.format(p=p)
+        dot = (
+            f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
+            f"(x, i) -> cast(x as double) * {comp}), cast(0 as double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _sql_bucket_expr() -> str:
+    bits = []
+    for p in range(N_PLANES):
+        comp = (
+            f"(CAST(('0x' || substring(md5('{p}' || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " - 2147483648.0)"
+        )
+        dot = (
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * {comp} "
+            f"FOR i IN generate_series(1, {DIM})])"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", F.expr(_bucket_expr()).cast("int")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+                 F.col("nrm").alias("cn"), "bucket")
+    sim = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        q.join(c, "bucket")  # shuffle on the 8-bit bucket key, not a crossjoin
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "bucket", "neighbor_id", "rank", "sim")
+    )
+
+
+SQL_EMBED_LSH_ANN = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+         CAST({_sql_bucket_expr()} AS INT) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+         round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, bucket, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES = {
+    "embed_cosine_topk": embed_cosine_topk,
+    "embed_neardup": embed_neardup,
+    "embed_lsh_ann": embed_lsh_ann,
+}
+
+ORACLES = {
+    "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+}
