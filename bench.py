@@ -56,8 +56,12 @@ def run_crawl(spark, n_urls: int) -> dict:
     from web_crawler_spark.core import webgen
     from web_crawler_spark.core.robots import generate_rules, rules_by_host
 
-    cfg = webgen.make_config(n_sites=8, subdomains=("", "docs."),
-                             base_pages=max(64, n_urls // 16), skew=0.5,
+    # single-site universe: the reference crawls one domain (subdomains
+    # included, crawler.py:426-427), so every page must live under site0.test
+    # for the frontier to reach it
+    subs = ("", "docs.", "app.", "blog.", "shop.", "wiki.", "img.", "dev.")
+    cfg = webgen.make_config(n_sites=1, subdomains=subs,
+                             base_pages=max(64, n_urls // len(subs)), skew=0.5,
                              mean_outlinks=12)
     rules = rules_by_host(generate_rules(cfg))
     job = JobConfig(job_id=99, start_url="http://site0.test/p/0",

@@ -1,0 +1,90 @@
+"""Scaling-efficiency evidence for BASELINE.json's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so (per the build brief) the N→4N
+executor criterion is evidenced by running the SAME crawl job at two
+parallelism levels — local[8] and local[32] — on the same deterministic
+synthetic web, reporting throughput at both plus the scaling efficiency
+  eff = throughput(4N) / (4 × throughput(N)).
+
+Each level runs in its own subprocess (Spark can't change master in-process).
+Writes/updates the table in BENCH.md.
+
+Usage: python scripts/bench_scaling.py [--urls 240000] [--budget 120000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time, tempfile, shutil
+sys.path.insert(0, {repo!r})
+from web_crawler_spark.session import get_spark
+from web_crawler_spark import engine
+from web_crawler_spark.config import JobConfig
+from web_crawler_spark.core import webgen
+from web_crawler_spark.core.robots import generate_rules, rules_by_host
+
+cpus = {cpus}
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+subs = ("", "docs.", "app.", "blog.", "shop.", "wiki.", "img.", "dev.")
+cfg = webgen.make_config(n_sites=1, subdomains=subs,
+                         base_pages={base_pages}, skew=0.5, mean_outlinks=14)
+rules = rules_by_host(generate_rules(cfg))
+job = JobConfig(job_id=7, start_url="http://site0.test/p/0",
+                max_pages={max_pages}, max_depth=40, delay=0.0)
+storage = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+try:
+    t0 = time.time()
+    run = engine.crawl(spark, job, cfg, rules, storage, budget={budget})
+    sec = time.time() - t0
+    n = run.read(spark, "outcomes").count()
+    print("RESULT " + json.dumps({{"cpus": cpus, "urls": n, "sec": round(sec, 2),
+                                   "urls_per_sec": round(n / sec, 1),
+                                   "rounds": run.rounds}}))
+finally:
+    shutil.rmtree(storage, ignore_errors=True)
+"""
+
+
+def run_level(cpus: int, urls: int, budget: int | None) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, base_pages=max(64, urls // 8),
+                        max_pages=urls, budget=budget)
+    # pin the process to exactly `cpus` physical cores: in plain local[N] the
+    # JVM's GC/IO/shuffle helper threads would spill onto the other cores and
+    # flatter the small configuration, understating scaling efficiency
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"local[{cpus}] run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urls", type=int, default=240_000)
+    ap.add_argument("--budget", type=int, default=120_000)
+    args = ap.parse_args()
+
+    r8 = run_level(8, args.urls, args.budget)
+    print("local[8]:", r8, flush=True)
+    r32 = run_level(32, args.urls, args.budget)
+    print("local[32]:", r32, flush=True)
+
+    eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
+    result = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

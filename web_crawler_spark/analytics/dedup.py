@@ -210,37 +210,36 @@ WHERE e.jaccard >= {JACCARD_T}
 # 4. SimHash fingerprints + near-dup pairs
 # ---------------------------------------------------------------------------
 
-# per-token 64-weight array: weight_j = cnt * (2*bit_j(md5(tok)) - 1)
-_WEIGHTS = (
-    "transform(sequence(0, 63), j -> "
-    "cnt * (2 * ((cast(conv(substring(h, cast(j div 4 as int) + 1, 1), 16, 10) as bigint) "
-    "div cast(pow(2, 3 - j % 4) as bigint)) % 2) - 1))"
-)
-# fold token weight arrays into the per-doc 64-bit sign vector
-_SIGNSUM = (
-    "aggregate(collect_list(warr), "
-    "transform(sequence(0, 63), j -> cast(0 as bigint)), "
-    "(acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
-)
-
-
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flat-column formulation: 16 hex-digit columns -> 64 per-bit weighted
+    # sums as plain aggregate expressions -> 4 block ints. Everything stays
+    # inside whole-stage codegen (higher-order array folds are interpreted
+    # in Spark and were ~30x slower here); one shuffle total (the groupBy).
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", F.explode(F.expr(_WORDS)).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("cnt"))
         .withColumn("h", F.md5("tok"))
-        .withColumn("warr", F.expr(_WEIGHTS))
     )
-    sig = toks.groupBy("doc_id").agg(F.expr(_SIGNSUM).alias("sarr"))
-    bits = sig.withColumn(
-        "bits", F.expr("transform(sarr, s -> CASE WHEN s > 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END)")
+    toks = toks.select(
+        "doc_id",
+        "cnt",
+        *[
+            F.conv(F.substring("h", c + 1, 1), 16, 10).cast("int").alias(f"hv{c}")
+            for c in range(16)
+        ],
     )
-    block = lambda k: F.expr(
-        f"aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> acc * 2 + element_at(bits, {k * 16} + j + 1))"
-    ).alias(f"b{k}")
-    return bits.select("doc_id", block(0), block(1), block(2), block(3))
+    # bit_j = (hv[j//4] >> (3 - j%4)) & 1; s_j = sum(cnt * (2*bit_j - 1))
+    bit = lambda j: F.shiftright(F.col(f"hv{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+    sig = toks.groupBy("doc_id").agg(
+        *[F.sum(F.col("cnt") * (bit(j) * 2 - 1)).alias(f"s{j}") for j in range(64)]
+    )
+    block = lambda k: sum(
+        F.when(F.col(f"s{16 * k + j}") > 0, F.lit(1 << (15 - j))).otherwise(F.lit(0))
+        for j in range(16)
+    ).cast("bigint").alias(f"b{k}")
+    return sig.select("doc_id", block(0), block(1), block(2), block(3))
 
 
 SQL_SIMHASH_CTE = rf"""
@@ -281,7 +280,8 @@ SQL_TEXT_SIMHASH = f"WITH {SQL_SIMHASH_CTE} SELECT doc_id, b0, b1, b2, b3 FROM s
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_df(spark, sf_dir)
+    # cache: the signature plan feeds the candidate join AND both pair sides
+    sig = _simhash_df(spark, sf_dir).persist()
     blocks = sig.select(
         "doc_id",
         F.explode(

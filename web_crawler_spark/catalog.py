@@ -75,6 +75,18 @@ class SnapshotTable:
         self._commit(snaps)
         return Snapshot(sid, mode, round, path, rows)
 
+    def write_ref(self, paths: list[str], round: int, mode: str = "append") -> None:
+        """Commit a snapshot that REFERENCES data files owned by another table
+        (zero Spark jobs — Iceberg's metadata-only commit). Rollback never
+        deletes referenced files; the owning table does."""
+        snaps = self._load()
+        sid = (max((s["snapshot_id"] for s in snaps), default=0)) + 1
+        snaps.append(
+            {"snapshot_id": sid, "mode": mode, "round": round, "paths": list(paths),
+             "rows": -1, "ref": True}
+        )
+        self._commit(snaps)
+
     def live_paths(self, as_of_round: Optional[int] = None) -> list[str]:
         """Snapshot paths contributing to the current (or as-of-round) state."""
         snaps = self._load()
@@ -86,7 +98,10 @@ class SnapshotTable:
                 live = [s]
             else:
                 live.append(s)
-        return [s["path"] for s in live]
+        out: list[str] = []
+        for s in live:
+            out.extend(s["paths"] if s.get("ref") else [s["path"]])
+        return out
 
     def read(
         self,
@@ -109,7 +124,8 @@ class SnapshotTable:
         dropped = [s for s in snaps if s["round"] > round]
         self._commit(keep)
         for s in dropped:
-            shutil.rmtree(s["path"], ignore_errors=True)
+            if not s.get("ref"):  # referenced files belong to their owner table
+                shutil.rmtree(s["path"], ignore_errors=True)
 
     def exists(self) -> bool:
         return bool(self._load())

@@ -4,12 +4,13 @@ The reference's sequential loop (``Crawler/crawler.py:619-645``) becomes, per
 round (SURVEY.md §3.1):
 
     pending frontier → politeness-budget selection (FIFO chunk / per-host
-    quota) → robots gate (broadcast rules, pandas UDF) → fetch+parse
-    (mapInPandas over the synthetic web; salt-spread partitions) → append
-    crawl_log + links → explode children → within-batch first-occurrence dedup
-    (window) → [bloom prefilter] → exact anti-join seen → scalable global rank
-    in (parent_seq, link_idx) order → page-cap admission → assign seq → append
-    seen, overwrite pending frontier → metrics
+    quota) → ONE fused Python stage (robots gate → fetch → parse, mapInPandas
+    over the synthetic web; salt-spread partitions) committed as the round's
+    stage snapshot → explode children → within-batch first-occurrence dedup
+    (window) → [bloom prefilter] → exact anti-join seen → global rank in
+    (parent_seq, link_idx) order → page-cap admission → assign seq → commit
+    admissions; frontier/seen/crawl_log/links/outcomes/metrics are
+    metadata-only projections of those two physical tables.
 
 Every admission gets a dense global ``seq`` equal to the reference's FIFO
 enqueue order, so output ordered by ``seq`` reproduces the reference crawl
@@ -18,12 +19,20 @@ admission (``len(visited) < max_pages`` at enqueue, crawler.py:556-557), the
 robots gate fires after scheduling (crawler.py:502-504), and failed fetches
 stay in the seen set — all reference quirks preserved.
 
-Scale notes (the 10^10-frontier design):
-- pending/seen live in snapshot tables hash-partitioned by (host_bucket, salt);
-  one atomic commit per table per round ⇒ resume-from-checkpoint.
-- the only global-order operation is admission ranking; it is a two-phase rank
-  (range partition → partition sizes → offset + local row_number), never a
-  single-partition window.
+Scale design (the 10^10-frontier story):
+- TWO physical tables per round — ``stage`` (gate+fetch+parse output) and
+  ``admissions`` (ranked new frontier rows) — each written exactly once.
+  crawl_log / links / outcomes / metrics / seen / frontier are *snapshot
+  references + projections* (Iceberg-style metadata-only commits): zero extra
+  Spark jobs and zero data duplication per round. In this sandbox each extra
+  job costs seconds of fixed overhead; on a real cluster the same discipline
+  is what keeps a 30-round crawl from paying 30× the commit latency.
+- partition counts adapt to the tracked pending-frontier size (small rounds
+  → 1 task; large rounds → host_bucket×salt spread, capped at the configured
+  parallelism), so per-task overhead never dominates.
+- the only global-order operation is admission ranking; small rounds take a
+  single-partition window, large rounds the two-phase range rank
+  (``global_rank``) — never a single-partition window at scale.
 - the seen anti-join is the dominant shuffle; the broadcast bloom prefilter
   routes definitely-new candidates around it (false positives only cost time —
   the exact anti-join remains the source of truth).
@@ -34,13 +43,13 @@ Scale notes (the 10^10-frontier design):
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .catalog import RunState, SnapshotTable
 from .config import JobConfig
@@ -48,15 +57,19 @@ from .core.robots import RulesByHost
 from .core.webgen import WebConfig
 from .functions import udfs
 from .functions.filters import BloomFilter64
-from .schemas import (
-    FRONTIER_SCHEMA,
-    N_HOST_BUCKETS,
-    N_SALTS,
-    OUTCOMES_SCHEMA,
-    SEEN_SCHEMA,
+from .schemas import FRONTIER_SCHEMA, N_HOST_BUCKETS, N_SALTS
+
+PHYSICAL_TABLES = ("stage", "admissions", "frontier")
+DERIVED_TABLES = ("seen", "crawl_log", "links", "outcomes", "metrics")
+
+STAGE_SCHEMA = T.StructType(
+    list(udfs.FETCHED_SCHEMA.fields) + [T.StructField("round", T.IntegerType(), False)]
 )
 
-TABLES = ("frontier", "seen", "crawl_log", "links", "outcomes", "metrics")
+# below this many fresh candidates, a single-partition window rank is cheaper
+# than the two-phase range rank (3 jobs → 1); well within one executor's memory
+SMALL_RANK_THRESHOLD = 65_536
+ROWS_PER_PARTITION = 2_048
 
 
 @dataclass
@@ -68,11 +81,78 @@ class CrawlRun:
     rounds: int = 0
 
     def read(self, spark: SparkSession, name: str) -> Optional[DataFrame]:
-        return self.tables[name].read(spark)
+        """Read a physical table or a derived (metadata-only) projection."""
+        jid = self.job.job_id
+        if name in PHYSICAL_TABLES:
+            schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
+            return self.tables[name].read(spark, schema=schema)
+        stage = self.tables["stage"].read(spark, schema=STAGE_SCHEMA)
+        if name == "seen":
+            adm = self.tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+            if adm is None:
+                return None
+            return adm.select(
+                "job_id", "url_hash", "url", "seq", "round_added"
+            )
+        if stage is None:
+            return None
+        if name == "outcomes":
+            return stage.select(
+                F.lit(jid).alias("job_id"), "round", "seq", "url", "depth",
+                "outcome", "status_code", "attempts", "fetch_latency_ms",
+            )
+        if name == "crawl_log":
+            return stage.filter(F.col("outcome") == "parsed").select(
+                F.lit(jid).alias("job_id"), "round",
+                F.col("seq").alias("schedule_rank"), F.col("page_url").alias("url"),
+                "depth", "status_code", "title", "metadata", "headings", "content",
+                F.struct(F.col("image_id"), F.col("caption")).alias("payload"),
+            )
+        if name == "links":
+            return _links_of(stage, jid).select(
+                "job_id", "from_url", "to_url", "link_text", "link_idx", "from_depth"
+            )
+        if name == "metrics":
+            # per-(round, partition, host_bucket) lineage per north_rule
+            return (
+                stage.groupBy("round", "partition_id", "host_bucket")
+                .agg(
+                    F.count("*").alias("rows_in"),
+                    F.sum(F.when(F.col("outcome") == "parsed", 1).otherwise(0)).alias("rows_out"),
+                    F.percentile_approx("fetch_latency_ms", 0.5).alias("latency_p50_ms"),
+                    F.percentile_approx("fetch_latency_ms", 0.95).alias("latency_p95_ms"),
+                    F.collect_list(F.floor(F.col("fetch_latency_ms") / 100)).alias("_bk"),
+                )
+                .select(
+                    F.lit(jid).alias("job_id"), "round", "partition_id", "host_bucket",
+                    "rows_in", "rows_out", "latency_p50_ms", "latency_p95_ms",
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(9)),
+                        lambda b: F.size(F.filter(F.col("_bk"), lambda x: x == b.cast("bigint"))).cast("bigint"),
+                    ).alias("latency_hist"),
+                )
+            )
+        raise KeyError(name)
 
 
 def _tables(storage_dir: str) -> dict[str, SnapshotTable]:
-    return {t: SnapshotTable(storage_dir, t) for t in TABLES}
+    return {t: SnapshotTable(storage_dir, t) for t in PHYSICAL_TABLES}
+
+
+def _links_of(stage: DataFrame, job_id: int) -> DataFrame:
+    return (
+        stage.filter(F.col("outcome") == "parsed")
+        .select(
+            F.lit(job_id).alias("job_id"), F.col("page_url").alias("from_url"),
+            F.col("depth").alias("from_depth"), F.col("seq").alias("parent_seq"),
+            F.explode("links").alias("l"),
+        )
+        .select(
+            "job_id", "from_url", F.col("l.to_url").alias("to_url"),
+            F.coalesce(F.col("l.link_text"), F.lit("")).alias("link_text"),
+            F.col("l.link_idx").alias("link_idx"), "from_depth", "parent_seq",
+        )
+    )
 
 
 def global_rank(df: DataFrame, order_cols: list[str], rank_col: str) -> DataFrame:
@@ -155,15 +235,17 @@ def crawl(
     state_store = RunState(storage_dir)
     run = CrawlRun(job=job, storage_dir=storage_dir, tables=tables, state=state_store)
 
-    jid = F.lit(job.job_id)
-    P = fetch_partitions or spark.conf.get("spark.sql.shuffle.partitions")
-    P = int(P)
+    P_max = int(fetch_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
     if resume and (state := state_store.load()):
         # roll back any table snapshot committed after the last full round
         for t in tables.values():
             t.rollback_to_round(state["round"])
         rnd, next_seq, seen_count = state["round"], state["next_seq"], state["seen_count"]
+        pending_count = state.get("pending_count")
+        if pending_count is None:
+            pend = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
+            pending_count = pend.count() if pend is not None else 0
     else:
         # round 0: seed the frontier and the seen set (crawler.py:611-612 —
         # the start URL is admitted as-is, uncanonicalized)
@@ -171,101 +253,63 @@ def crawl(
             [(job.job_id, 0, job.start_url, 0, -1, -1)],
             "job_id int, seq long, url string, depth int, parent_seq long, link_idx int",
         )
-        seed_f = _frontier_row_cols(seed, 0)
-        tables["frontier"].write(seed_f, 0, mode="overwrite")
-        tables["seen"].write(
-            seed_f.select("job_id", "url_hash", "url", "seq", F.lit(0).alias("round_added")),
-            0,
-        )
-        rnd, next_seq, seen_count = 0, 1, 1
-        state_store.save({"round": 0, "next_seq": 1, "seen_count": 1})
+        snap = tables["admissions"].write(_frontier_row_cols(seed, 0), 0)
+        tables["frontier"].write_ref([snap.path], 0, mode="overwrite")
+        rnd, next_seq, seen_count, pending_count = 0, 1, 1, 1
+        state_store.save({"round": 0, "next_seq": 1, "seen_count": 1, "pending_count": 1})
 
-    gate_udf = F.pandas_udf(udfs.make_robots_gate(rules, job.user_agent), "boolean")
-    fetch_fn = udfs.make_fetch_parse(cfg, job)
+    fetch_fn = udfs.make_fetch_parse(cfg, job, rules)
 
-    while rnd < max_rounds:
+    while rnd < max_rounds and pending_count > 0:
         rnd += 1
         pending = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if pending is None:
             break
+        P = min(P_max, max(1, pending_count // ROWS_PER_PARTITION + 1))
 
         # ---- politeness selection (FIFO chunk or per-host quota) ----------
         if budget is None:
             scheduled, remaining = pending, None
+            n_sched = pending_count
         elif politeness_mode == "global":
-            scheduled = pending.orderBy("seq").limit(budget)
-            remaining = pending.join(scheduled.select("seq"), "seq", "left_anti")
-        else:  # per_host: window rank within host bucket by priority (seq)
+            # FIFO invariant: pending is always the contiguous seq range
+            # [next_seq - pending_count, next_seq) — admissions append at the
+            # top, scheduling consumes from the bottom. So the budget chunk is
+            # a pure parallel filter: no global sort, no single-reducer
+            # TakeOrdered, no anti-join (those serialized every round and
+            # capped scaling efficiency at ~0.4 before this).
+            lo = next_seq - pending_count
+            lim = lo + budget
+            scheduled = pending.filter(F.col("seq") < lim)
+            remaining = pending.filter(F.col("seq") >= lim)
+            n_sched = min(budget, pending_count)
+        else:  # per_host: window rank within host by priority (seq)
             w = Window.partitionBy("host").orderBy("seq")
             ranked = pending.withColumn("_hr", F.row_number().over(w))
             scheduled = ranked.filter(F.col("_hr") <= budget).drop("_hr")
             remaining = ranked.filter(F.col("_hr") > budget).drop("_hr")
+            n_sched = None  # unknown without a count; resolved below
 
-        # ---- robots gate (broadcast rules; fail-open) ----------------------
-        gated = scheduled.withColumn("_allowed", gate_udf(F.col("url"))).persist()
-        n_scheduled = gated.count()
-        if n_scheduled == 0:
-            gated.unpersist()
-            break
-        disallowed = gated.filter(~F.col("_allowed"))
-        to_fetch = gated.filter(F.col("_allowed"))
-
-        # ---- fetch + parse (salt-spread partitions defeat hot-host skew) ---
-        fetched_df = to_fetch.repartition(P, "host_bucket", "salt").mapInPandas(
-            fetch_fn, udfs.FETCHED_SCHEMA
+        # ---- fused gate+fetch+parse stage (salt-spread partitions defeat
+        # hot-host skew); ONE write, everything downstream is a projection ---
+        stage_df = (
+            scheduled.repartition(P, "host_bucket", "salt")
+            .mapInPandas(fetch_fn, udfs.FETCHED_SCHEMA)
+            .withColumn("round", F.lit(rnd))
         )
-        # materialize ONCE per round; every downstream output derives from the
-        # stage file (lineage truncation — the iterative-Spark essential)
-        stage_path = os.path.join(storage_dir, f"_stage_round_{rnd}")
-        fetched_df.write.mode("overwrite").parquet(stage_path)
-        fetched = spark.read.schema(udfs.FETCHED_SCHEMA).parquet(stage_path)
-
-        # ---- outcomes (lineage) -------------------------------------------
-        outc = fetched.select(
-            jid.alias("job_id"), F.lit(rnd).alias("round"), "seq", "url", "depth",
-            "outcome", "status_code", "attempts", "fetch_latency_ms",
-        ).unionByName(
-            disallowed.select(
-                jid.alias("job_id"), F.lit(rnd).alias("round"), "seq", "url", "depth",
-                F.lit("disallowed").alias("outcome"),
-                F.lit(None).cast("int").alias("status_code"),
-                F.lit(0).alias("attempts"), F.lit(0.0).alias("fetch_latency_ms"),
-            )
-        )
-        tables["outcomes"].write(outc.select([f.name for f in OUTCOMES_SCHEMA.fields]), rnd)
-
-        parsed = fetched.filter(F.col("outcome") == "parsed")
-
-        # ---- crawl_log + links appends ------------------------------------
-        tables["crawl_log"].write(
-            parsed.select(
-                jid.alias("job_id"), F.lit(rnd).alias("round"),
-                F.col("seq").alias("schedule_rank"), F.col("page_url").alias("url"),
-                "depth", "status_code", "title", "metadata", "headings", "content",
-                F.struct(F.col("image_id"), F.col("caption")).alias("payload"),
-            ),
-            rnd,
-        )
-        links_df = parsed.select(
-            jid.alias("job_id"), F.col("page_url").alias("from_url"),
-            F.col("depth").alias("from_depth"), F.col("seq").alias("parent_seq"),
-            F.explode("links").alias("l"),
-        ).select(
-            "job_id", "from_url", F.col("l.to_url").alias("to_url"),
-            F.coalesce(F.col("l.link_text"), F.lit("")).alias("link_text"),
-            F.col("l.link_idx").alias("link_idx"), "from_depth", "parent_seq",
-        )
-        tables["links"].write(
-            links_df.select("job_id", "from_url", "to_url", "link_text", "link_idx", "from_depth"),
-            rnd,
-        )
+        snap = tables["stage"].write(stage_df, rnd)
+        stage = spark.read.schema(STAGE_SCHEMA).parquet(snap.path)
+        if n_sched is None:
+            n_sched = stage.count()  # parquet-metadata count (cheap)
 
         # ---- candidate children → dedup → anti-join seen → admission -------
         n_admit_room = job.max_pages - seen_count
         admitted_count = 0
+        adm_snap = None
         if n_admit_room > 0:
             candidates = (
-                links_df.filter(F.col("from_depth") < job.max_depth)
+                _links_of(stage, job.job_id)
+                .filter(F.col("from_depth") < job.max_depth)
                 .select(
                     F.col("to_url").alias("url"),
                     (F.col("from_depth") + 1).alias("depth"),
@@ -279,7 +323,7 @@ def crawl(
                 F.col("_rn") == 1
             ).drop("_rn")
 
-            seen_df = tables["seen"].read(spark, schema=SEEN_SCHEMA)
+            seen_df = run.read(spark, "seen")
             if use_bloom:
                 bloom = _build_bloom(seen_df, seen_count)
                 bcast = spark.sparkContext.broadcast(bloom.to_bytes())
@@ -306,75 +350,47 @@ def crawl(
                     F.col("url") == F.col("_su"), "left_anti",
                 )
 
-            ranked = global_rank(new_urls, ["parent_seq", "link_idx"], "_adm")
-            admitted = (
-                ranked.filter(F.col("_adm") <= n_admit_room)
-                .withColumn("seq", F.lit(next_seq) + F.col("_adm") - 1)
-                .drop("_adm")
-                .withColumn("job_id", jid)
-            )
-            admitted_f = _frontier_row_cols(
-                admitted.select("job_id", "seq", "url", "depth", "parent_seq", "link_idx"),
-                rnd,
-            ).persist()
-            admitted_count = admitted_f.count()
-            if admitted_count:
-                tables["seen"].write(
-                    admitted_f.select(
-                        "job_id", "url_hash", "url", "seq",
-                        F.lit(rnd).alias("round_added"),
-                    ),
+            new_urls = new_urls.persist()
+            n_new = new_urls.count()
+            if n_new > 0:
+                if n_new <= SMALL_RANK_THRESHOLD:
+                    w1 = Window.orderBy("parent_seq", "link_idx")
+                    ranked = new_urls.coalesce(1).withColumn("_adm", F.row_number().over(w1))
+                else:
+                    ranked = global_rank(new_urls, ["parent_seq", "link_idx"], "_adm")
+                admitted = (
+                    ranked.filter(F.col("_adm") <= n_admit_room)
+                    .withColumn("seq", F.lit(next_seq) + F.col("_adm") - 1)
+                    .drop("_adm")
+                    .withColumn("job_id", F.lit(job.job_id))
+                )
+                admitted_f = _frontier_row_cols(
+                    admitted.select("job_id", "seq", "url", "depth", "parent_seq", "link_idx"),
                     rnd,
                 )
+                adm_snap = tables["admissions"].write(admitted_f, rnd)
+                admitted_count = min(n_new, n_admit_room)
+            new_urls.unpersist()
 
-        # ---- next pending frontier (atomic overwrite) -----------------------
-        next_pending_parts = []
-        if remaining is not None:
-            next_pending_parts.append(remaining)
-        if admitted_count:
-            next_pending_parts.append(admitted_f)
-        if next_pending_parts:
-            np_df = next_pending_parts[0]
-            for p in next_pending_parts[1:]:
-                np_df = np_df.unionByName(p)
-            tables["frontier"].write(np_df, rnd, mode="overwrite")
-            has_next = True
+        # ---- next pending frontier (metadata-only when possible) -----------
+        if remaining is None:
+            paths = [adm_snap.path] if adm_snap else []
+            tables["frontier"].write_ref(paths, rnd, mode="overwrite")
+            pending_count = admitted_count
         else:
-            tables["frontier"].write(
-                spark.createDataFrame([], FRONTIER_SCHEMA), rnd, mode="overwrite"
-            )
-            has_next = False
-
-        # ---- metrics / lineage per (round, partition, host_bucket) ---------
-        metrics = (
-            fetched.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("host_bucket", "partition_id")
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.sum(F.when(F.col("outcome") == "parsed", 1).otherwise(0)).alias("rows_out"),
-                F.percentile_approx("fetch_latency_ms", 0.5).alias("latency_p50_ms"),
-                F.percentile_approx("fetch_latency_ms", 0.95).alias("latency_p95_ms"),
-                F.collect_list(F.floor(F.col("fetch_latency_ms") / 100)).alias("_bk"),
-            )
-            .select(
-                jid.alias("job_id"), F.lit(rnd).alias("round"), "partition_id",
-                "host_bucket", "rows_in", "rows_out", "latency_p50_ms", "latency_p95_ms",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(9)),
-                    lambda b: F.size(F.filter(F.col("_bk"), lambda x: x == b.cast("bigint"))).cast("bigint"),
-                ).alias("latency_hist"),
-            )
-        )
-        tables["metrics"].write(metrics, rnd)
+            tables["frontier"].write(remaining, rnd, mode="overwrite")
+            if adm_snap:
+                tables["frontier"].write_ref([adm_snap.path], rnd, mode="append")
+            pending_count = (pending_count - n_sched) + admitted_count
 
         # ---- commit round state (the resume point) -------------------------
         next_seq += admitted_count
         seen_count += admitted_count
-        state_store.save({"round": rnd, "next_seq": next_seq, "seen_count": seen_count})
-        gated.unpersist()
+        state_store.save({
+            "round": rnd, "next_seq": next_seq, "seen_count": seen_count,
+            "pending_count": pending_count,
+        })
         run.rounds = rnd
-        if not has_next:
-            break
 
     return run
 
@@ -407,7 +423,5 @@ def _build_bloom(seen_df: DataFrame, seen_count: int) -> BloomFilter64:
     )
     out = proto
     for r in parts:
-        import numpy as np
-
         out.merge(BloomFilter64.from_bytes(bytes(r["bitmap"]), k))
     return out

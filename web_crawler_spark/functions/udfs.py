@@ -41,6 +41,7 @@ FETCHED_SCHEMA = T.StructType(
         T.StructField("image_id", T.StringType(), True),
         T.StructField("caption", T.StringType(), True),
         T.StructField("links", T.ArrayType(LINK_STRUCT), True),
+        T.StructField("partition_id", T.IntegerType(), False),  # write-time lineage
     ]
 )
 
@@ -53,24 +54,45 @@ def fetch_latency_ms(url: str, attempts: int, seed: int) -> float:
     return base * attempts
 
 
-def make_fetch_parse(cfg: webgen.WebConfig, job: JobConfig):
-    """mapInPandas stage: frontier batch → fetched/parsed rows (FETCHED_SCHEMA).
+def make_fetch_parse(cfg: webgen.WebConfig, job: JobConfig, rules: RulesByHost | None = None):
+    """mapInPandas stage: frontier batch → gated/fetched/parsed rows
+    (FETCHED_SCHEMA).
 
     The 'network' is the deterministic synthetic web; in a real deployment this
     function body is the aiohttp fetch + HTML5 parse, same batch shape. Fetch
     semantics mirror the reference exactly (crawler.py:156-190): only 200
     yields content; 429/timeouts exhaust max_retries then fail with status 0.
+
+    The robots gate runs here too, BEFORE the fetch (crawler.py:502-504,
+    fail-open) — fusing it into this stage keeps each scheduling round at one
+    Python stage instead of two. ``rules`` should arrive via ``sc.broadcast``
+    at scale; a closure is fine for small rule sets.
     """
     domain = job.domain
     max_retries = job.max_retries
+    user_agent = job.user_agent
     seed = cfg.seed
 
     def fetch_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
         for pdf in batches:
             rows = []
             for url, seq, depth, host, host_bucket in zip(
                 pdf["url"], pdf["seq"], pdf["depth"], pdf["host"], pdf["host_bucket"]
             ):
+                if rules is not None and not allowed(url, user_agent, rules):
+                    rows.append({
+                        "seq": seq, "url": url, "host": host, "host_bucket": host_bucket,
+                        "depth": depth, "outcome": "disallowed", "status_code": None,
+                        "attempts": 0, "fetch_latency_ms": 0.0, "page_url": None,
+                        "title": None, "metadata": None, "headings": None,
+                        "content": None, "image_id": None, "caption": None,
+                        "links": None, "partition_id": pid,
+                    })
+                    continue
                 status = webgen.status_of(url, cfg)
                 if status == 200:
                     html = htmlgen.render_html(webgen.page_spec(url, cfg))
@@ -86,6 +108,7 @@ def make_fetch_parse(cfg: webgen.WebConfig, job: JobConfig):
                     "fetch_latency_ms": lat, "page_url": None, "title": None,
                     "metadata": None, "headings": None, "content": None,
                     "image_id": None, "caption": None, "links": None,
+                    "partition_id": pid,
                 }
                 if html is None:
                     base["outcome"] = "failed"
