@@ -23,7 +23,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, sys, time, tempfile, shutil
+import json, os, sys, time, tempfile, shutil
 sys.path.insert(0, {repo!r})
 from web_crawler_spark.session import get_spark
 from web_crawler_spark import engine
@@ -32,15 +32,20 @@ from web_crawler_spark.core import webgen
 from web_crawler_spark.core.robots import generate_rules, rules_by_host
 
 cpus = {cpus}
+# shuffle + snapshot storage on tmpfs: single-node disk bandwidth is the
+# local-mode artifact a real cluster doesn't share (per-node NVMe scales with
+# node count); measuring CPU scaling requires taking the one shared disk out
+os.makedirs(f"/dev/shm/wcs-local-{{cpus}}", exist_ok=True)
 spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.local.dir": f"/dev/shm/wcs-local-{{cpus}}"}})
 subs = ("", "docs.", "app.", "blog.", "shop.", "wiki.", "img.", "dev.")
 cfg = webgen.make_config(n_sites=1, subdomains=subs,
                          base_pages={base_pages}, skew=0.5, mean_outlinks=14)
 rules = rules_by_host(generate_rules(cfg))
 job = JobConfig(job_id=7, start_url="http://site0.test/p/0",
                 max_pages={max_pages}, max_depth=40, delay=0.0)
-storage = tempfile.mkdtemp(prefix=f"scale{{cpus}}_")
+storage = tempfile.mkdtemp(prefix=f"scale{{cpus}}_", dir=f"/dev/shm/wcs-local-{{cpus}}")
 try:
     t0 = time.time()
     run = engine.crawl(spark, job, cfg, rules, storage, budget={budget})
@@ -51,6 +56,7 @@ try:
                                    "rounds": run.rounds}}))
 finally:
     shutil.rmtree(storage, ignore_errors=True)
+    shutil.rmtree(f"/dev/shm/wcs-local-{{cpus}}", ignore_errors=True)
 """
 
 

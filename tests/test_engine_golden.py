@@ -92,6 +92,13 @@ def test_engine_bloom_prefilter_changes_nothing(spark, tmp_path, golden):
     assert_matches_oracle(spark, run, golden)
 
 
+def test_engine_cuckoo_prefilter_changes_nothing(spark, tmp_path, golden):
+    """Per-partition cuckoo prefilter (north_star) — accelerator only; the
+    exact anti-join remains the source of truth."""
+    run = run_engine(spark, tmp_path, use_cuckoo=True)
+    assert_matches_oracle(spark, run, golden)
+
+
 def test_engine_page_cap_exact(spark, tmp_path):
     job = JobConfig(job_id=2, start_url="http://site0.test/p/0", max_pages=5, max_depth=4, delay=0.0)
     res = oracle.simulate(job, CFG, RULES)

@@ -69,3 +69,18 @@ def test_cuckoo_overflow_reports_failure():
             break
     assert failed  # caller must fall back to exact structure — contract
     assert inserted > 50
+
+
+def test_cuckoo_vectorized_matches_scalar():
+    import numpy as np
+
+    c = CuckooFilter(capacity=4096)
+    keys = np.array([(i * 2654435761) % (2**63) - 2**62 for i in range(2000)], dtype=np.int64)
+    ok = c.add_many(keys)
+    assert ok.all()
+    got = c.contains_many(keys)
+    assert got.all()  # no false negatives, vectorized path
+    probe = np.array([10**9 + i for i in range(4000)], dtype=np.int64)
+    vec = c.contains_many(probe)
+    scal = np.array([c.contains(int(k)) for k in probe])
+    assert (vec == scal).all()  # bit-identical to the scalar path

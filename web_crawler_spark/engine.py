@@ -224,6 +224,7 @@ def crawl(
     budget: Optional[int] = None,
     politeness_mode: str = "global",  # 'global' (reference-exact) | 'per_host'
     use_bloom: bool = False,
+    use_cuckoo: bool = False,
     resume: bool = False,
     max_rounds: int = 10_000,
     fetch_partitions: Optional[int] = None,
@@ -317,11 +318,21 @@ def crawl(
                 )
             )
             # within-batch first-occurrence dedup (crawler.py:429-430 analog
-            # across pages: the earliest (parent_seq, link_idx) wins the slot)
-            wdup = Window.partitionBy("url").orderBy("parent_seq", "link_idx")
-            fresh = candidates.withColumn("_rn", F.row_number().over(wdup)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
+            # across pages: the earliest (parent_seq, link_idx) wins the slot).
+            # min(struct) instead of a row_number window: structs compare
+            # lexicographically, so this is the same winner — but it partial-
+            # aggregates map-side, shuffling only unique URLs per map partition
+            # instead of sorting every candidate row.
+            fresh = (
+                candidates.groupBy("url")
+                .agg(F.min(F.struct("parent_seq", "link_idx", "depth")).alias("_m"))
+                .select(
+                    "url",
+                    F.col("_m.depth").alias("depth"),
+                    F.col("_m.parent_seq").alias("parent_seq"),
+                    F.col("_m.link_idx").alias("link_idx"),
+                )
+            )
 
             seen_df = run.read(spark, "seen")
             if use_bloom:
@@ -340,6 +351,20 @@ def crawl(
                 # bloom says definitely-new → bypass the anti-join shuffle
                 surely_new = fresh.filter(~F.col("_mc")).drop("_mc")
                 maybe_seen = fresh.filter(F.col("_mc")).drop("_mc")
+                new_urls = surely_new.unionByName(
+                    maybe_seen.join(seen_df.select(F.col("url").alias("_su")),
+                                    F.col("url") == F.col("_su"), "left_anti")
+                )
+            elif use_cuckoo:
+                # per-partition cuckoo prefilter (north_star): co-partition
+                # candidates and seen rows by a hash bucket, build a local
+                # cuckoo filter from that partition's seen hashes, and route
+                # only possible members into the exact anti-join. Unlike the
+                # bloom path nothing is broadcast — this is the variant for a
+                # seen set too large even for a broadcast bitmap.
+                flagged = _cuckoo_flag(fresh, seen_df)
+                surely_new = flagged.filter(~F.col("_mc")).drop("_mc")
+                maybe_seen = flagged.filter(F.col("_mc")).drop("_mc")
                 new_urls = surely_new.unionByName(
                     maybe_seen.join(seen_df.select(F.col("url").alias("_su")),
                                     F.col("url") == F.col("_su"), "left_anti")
@@ -393,6 +418,63 @@ def crawl(
         run.rounds = rnd
 
     return run
+
+
+_CUCKOO_BUCKETS = 64
+_CUCKOO_FLAG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("parent_seq", T.LongType(), False),
+        T.StructField("link_idx", T.IntegerType(), False),
+        T.StructField("_mc", T.BooleanType(), False),
+    ]
+)
+
+
+def _cuckoo_flag(fresh: DataFrame, seen_df: DataFrame) -> DataFrame:
+    """Per-partition cuckoo prefilter via cogrouped applyInPandas.
+
+    Candidates and seen hashes are co-partitioned by a hash bucket; each
+    group builds a CuckooFilter from its seen slice and probes candidates
+    vectorized (contains_many). ``_mc`` False ⇒ definitely new (bypasses the
+    exact anti-join); True ⇒ possible member (exact anti-join decides).
+    Inserts that overflow the filter fall back to an exact set, so false
+    NEGATIVES are impossible — the accelerator never changes results.
+    """
+    from .functions.filters import CuckooFilter
+
+    cb = lambda c: F.pmod(F.col(c), F.lit(_CUCKOO_BUCKETS)).cast("int")
+    cand = fresh.withColumn("_h", F.xxhash64("url")).withColumn("_cb", cb("_h"))
+    seen = seen_df.select(F.col("url_hash").alias("_h")).withColumn("_cb", cb("_h"))
+
+    def flag(cand_pdf, seen_pdf):
+        import numpy as np
+        import pandas as pd
+
+        out = cand_pdf[["url", "depth", "parent_seq", "link_idx"]].copy()
+        if len(cand_pdf) == 0:
+            out["_mc"] = pd.Series([], dtype=bool)
+            return out
+        if len(seen_pdf) == 0:
+            out["_mc"] = False
+            return out
+        cf = CuckooFilter(max(64, len(seen_pdf) * 2))
+        exact: set[int] = set()
+        for h in seen_pdf["_h"].to_numpy():
+            if not cf.add(int(h)):
+                exact.add(int(h))
+        mc = cf.contains_many(cand_pdf["_h"].to_numpy())
+        if exact:
+            mc = mc | cand_pdf["_h"].isin(exact).to_numpy()
+        out["_mc"] = mc
+        return out
+
+    return (
+        cand.groupBy("_cb")
+        .cogroup(seen.groupBy("_cb"))
+        .applyInPandas(flag, _CUCKOO_FLAG_SCHEMA)
+    )
 
 
 def _build_bloom(seen_df: DataFrame, seen_count: int) -> BloomFilter64:

@@ -141,6 +141,29 @@ class CuckooFilter:
         i2 = self._alt_index(i1, fp)
         return bool((self.table[i2] == fp).any())
 
+    def add_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Bulk insert; returns a boolean array — False entries did NOT fit
+        and must be tracked exactly by the caller."""
+        return np.array([self.add(int(h)) for h in np.asarray(hashes)], dtype=bool)
+
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe (the hot path: candidate filtering).
+        False ⇒ definitely not present."""
+        hs = np.asarray(hashes, dtype=np.int64)
+        if hs.size == 0:
+            return np.zeros(0, dtype=bool)
+        u = _mix64(hs.view(np.uint64))
+        fp = (u & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        i1 = ((u >> np.uint64(16)) & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        # same bit pattern as the scalar _alt_index (int64 view == uint64 cast
+        # for 16-bit fingerprints)
+        alt = _mix64(fp.astype(np.uint64))
+        i2 = (i1 ^ alt.astype(np.int64)) & (self.n_buckets - 1)
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
     def delete(self, h: int) -> bool:
         fp, i1 = self._fp_and_index(h)
         for i in (i1, self._alt_index(i1, fp)):
