@@ -62,11 +62,12 @@ def run_crawl(spark, n_urls: int) -> dict:
     subs = ("", "docs.", "app.", "blog.", "shop.", "wiki.", "img.", "dev.")
     cfg = webgen.make_config(n_sites=1, subdomains=subs,
                              base_pages=max(64, n_urls // len(subs)), skew=0.5,
-                             mean_outlinks=12)
+                             mean_outlinks=30)
     rules = rules_by_host(generate_rules(cfg))
     job = JobConfig(job_id=99, start_url="http://site0.test/p/0",
                     max_pages=n_urls, max_depth=30, delay=0.0)
-    storage = tempfile.mkdtemp(prefix="wcs_bench_")
+    os.makedirs("/dev/shm/wcs-bench", exist_ok=True)
+    storage = tempfile.mkdtemp(prefix="wcs_bench_", dir="/dev/shm/wcs-bench")
     try:
         t0 = time.time()
         run = engine.crawl(spark, job, cfg, rules, storage)
@@ -81,12 +82,14 @@ def run_crawl(spark, n_urls: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    n_crawl = int(os.environ.get("WCS_BENCH_CRAWL_URLS", "3000"))
+    n_crawl = int(os.environ.get("WCS_BENCH_CRAWL_URLS", "20000"))
 
     from web_crawler_spark.analytics import QUERIES
     from web_crawler_spark.session import get_spark
 
-    spark = get_spark(app_name="wcs-bench")
+    os.makedirs("/dev/shm/wcs-bench", exist_ok=True)
+    spark = get_spark(app_name="wcs-bench",
+                      extra_conf={"spark.local.dir": "/dev/shm/wcs-bench"})
     # warm the JVM/codegen path once so per-query times measure the plan
     QUERIES["export_stats"](spark, sf_dir).collect()
 
@@ -94,6 +97,9 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(run_query(spark, QUERIES[name], sf_dir), 3)
 
+    # the query suite leaves cached plans/persisted data behind — drop them
+    # so the crawl leg measures the engine, not the session's leftovers
+    spark.catalog.clearCache()
     crawl = run_crawl(spark, n_crawl)
     total = round(sum(times.values()) + crawl["sec"], 3)
     print(json.dumps({

@@ -76,19 +76,22 @@ def run_level(cpus: int, urls: int, budget: int | None) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--urls", type=int, default=240_000)
-    ap.add_argument("--budget", type=int, default=120_000)
+    ap.add_argument("--urls", type=int, default=120_000)
+    ap.add_argument("--budget", type=int, default=60_000)
+    ap.add_argument("--n", type=int, default=2, help="small parallelism level N")
+    ap.add_argument("--out", default="BENCH_scaling.json")
     args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
 
-    r8 = run_level(8, args.urls, args.budget)
-    print("local[8]:", r8, flush=True)
-    r32 = run_level(32, args.urls, args.budget)
-    print("local[32]:", r32, flush=True)
+    rn = run_level(n, args.urls, args.budget)
+    print(f"local[{n}]:", rn, flush=True)
+    rn4 = run_level(n4, args.urls, args.budget)
+    print(f"local[{n4}]:", rn4, flush=True)
 
-    eff = r32["urls_per_sec"] / (4 * r8["urls_per_sec"])
-    result = {"local8": r8, "local32": r32, "scaling_efficiency": round(eff, 3)}
+    eff = rn4["urls_per_sec"] / (4 * rn["urls_per_sec"])
+    result = {f"local{n}": rn, f"local{n4}": rn4, "scaling_efficiency": round(eff, 3)}
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_scaling.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(result, f, indent=2)
 
 

@@ -40,3 +40,46 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState URL dedup: cross-microbatch state keeps only
+    first occurrences, matching a batch first-occurrence dedup exactly."""
+    import pandas as pd
+
+    from web_crawler_spark.streaming import stateful_dedup
+
+    src = tmp_path / "url_events"
+    src.mkdir()
+    rows1 = [(f"http://h{i % 3}.test/p/{i % 10}", i % 10, i % 3, i) for i in range(30)]
+    rows2 = [(f"http://h{i % 3}.test/p/{i % 14}", i % 14, i % 3, 100 + i) for i in range(40)]
+    cols = ["url", "url_hash", "host_bucket", "seq"]
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["host_bucket"] = pdf["host_bucket"].astype("int32")
+        pdf.to_parquet(src / name)
+
+    write(rows1, "b1.parquet")
+    write(rows2, "b2.parquet")
+
+    q = stateful_dedup.run_to_memory(
+        stateful_dedup.dedup_stream(spark, str(src)), name="dedup_t"
+    )
+    try:
+        got = {
+            (r["host_bucket"], r["url_hash"]): r["first_seq"]
+            for r in spark.table("dedup_t").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch oracle: min seq per (host_bucket, url_hash) — but only when the
+    # stream sees files in order; availableNow with maxFilesPerTrigger=1
+    # processes b1 then b2, so first_seq is the min seq overall
+    import itertools
+
+    want = {}
+    for url, h, hb, seq in itertools.chain(rows1, rows2):
+        want.setdefault((hb, h), seq)
+    assert got == want

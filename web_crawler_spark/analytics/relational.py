@@ -491,6 +491,60 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+# --- F5: the URL-canonicalization pandas UDF (crawler.py:407-427) ----------
+# Hrefs are synthesized deterministically from event ids in six known forms,
+# so the DuckDB oracle can state the expected canonical URL in closed form —
+# exercising the Arrow UDF path (urljoin/unquote/strip/domain-gate) against
+# an exact oracle. Full RFC-3986 behavior is unit-tested against urllib in
+# tests/test_core_pure.py; the engine uses the same core function.
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import make_canonicalize
+
+    ev = table(spark, sf_dir, "events").select("event_id")
+    m = F.col("event_id") % 6
+    href = (
+        F.when(m == 0, F.concat(F.lit("http://site0.test/p/"), "event_id", F.lit("?q=1#frag")))
+        .when(m == 1, F.concat(F.lit("/p/"), "event_id", F.lit("?x=2")))
+        .when(m == 2, F.concat(F.lit("p/"), "event_id"))
+        .when(m == 3, F.concat(F.lit("http://other.test/p/"), "event_id"))
+        .when(m == 4, F.concat(F.lit("#sec"), "event_id"))
+        .otherwise(F.concat(F.lit("http://docs.site0.test/p%2F"), "event_id"))
+    )
+    base = F.lit("http://site0.test/a/b")
+    canon_udf = F.pandas_udf(make_canonicalize("site0.test"), "string")
+    return ev.select(
+        "event_id",
+        href.alias("href"),
+        canon_udf(href, base).alias("canonical"),
+    )
+
+
+SQL_URL_CANONICALIZE = """
+SELECT event_id, href,
+       CASE m
+         WHEN 0 THEN 'http://site0.test/p/' || event_id
+         WHEN 1 THEN 'http://site0.test/p/' || event_id
+         WHEN 2 THEN 'http://site0.test/a/p/' || event_id
+         WHEN 3 THEN NULL
+         WHEN 4 THEN NULL
+         ELSE 'http://docs.site0.test/p/' || event_id
+       END AS canonical
+FROM (
+  SELECT event_id, event_id % 6 AS m,
+         CASE event_id % 6
+           WHEN 0 THEN 'http://site0.test/p/' || event_id || '?q=1#frag'
+           WHEN 1 THEN '/p/' || event_id || '?x=2'
+           WHEN 2 THEN 'p/' || event_id
+           WHEN 3 THEN 'http://other.test/p/' || event_id
+           WHEN 4 THEN '#sec' || event_id
+           ELSE 'http://docs.site0.test/p%2F' || event_id
+         END AS href
+  FROM events
+)
+"""
+
+
 QUERIES = {
     "frontier_schedule": frontier_schedule,
     "seen_antijoin": seen_antijoin,
@@ -510,9 +564,11 @@ QUERIES = {
     "ship_priority": ship_priority,
     "region_volume": region_volume,
     "hourly_rollup": hourly_rollup,
+    "url_canonicalize": url_canonicalize,
 }
 
 ORACLES = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "seen_antijoin": SQL_SEEN_ANTIJOIN,
     "enrich_join": SQL_ENRICH_JOIN,

@@ -44,8 +44,31 @@ Scale design (the 10^10-frontier story):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 from typing import Optional
+
+_TRACE = os.environ.get("WCS_TRACE", "") not in ("", "0")
+
+
+class _Timer:
+    """Per-round phase timing (enabled with WCS_TRACE=1)."""
+
+    def __init__(self, rnd: int):
+        self.rnd = rnd
+        self.t = time.time()
+        self.phases: list[tuple[str, float]] = []
+
+    def mark(self, phase: str) -> None:
+        now = time.time()
+        self.phases.append((phase, now - self.t))
+        self.t = now
+
+    def report(self) -> None:
+        if _TRACE:
+            total = sum(d for _, d in self.phases)
+            parts = " ".join(f"{p}={d:.1f}s" for p, d in self.phases)
+            print(f"[round {self.rnd}] total={total:.1f}s {parts}", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -263,6 +286,7 @@ def crawl(
 
     while rnd < max_rounds and pending_count > 0:
         rnd += 1
+        tm = _Timer(rnd)
         pending = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if pending is None:
             break
@@ -293,12 +317,17 @@ def crawl(
 
         # ---- fused gate+fetch+parse stage (salt-spread partitions defeat
         # hot-host skew); ONE write, everything downstream is a projection ---
+        # uniform per-row spread: hashing (host_bucket, salt) gives only
+        # n_hosts*n_salts distinct keys — lumpy at high parallelism; url_hash
+        # is per-row uniform, so the slowest fetch task tracks the mean.
+        # (host_bucket/salt stay on the rows for the table partition spec.)
         stage_df = (
-            scheduled.repartition(P, "host_bucket", "salt")
+            scheduled.repartition(P, "url_hash")
             .mapInPandas(fetch_fn, udfs.FETCHED_SCHEMA)
             .withColumn("round", F.lit(rnd))
         )
         snap = tables["stage"].write(stage_df, rnd)
+        tm.mark("stage_write")
         stage = spark.read.schema(STAGE_SCHEMA).parquet(snap.path)
         if n_sched is None:
             n_sched = stage.count()  # parquet-metadata count (cheap)
@@ -375,8 +404,13 @@ def crawl(
                     F.col("url") == F.col("_su"), "left_anti",
                 )
 
-            new_urls = new_urls.persist()
+            # eager local checkpoint: materializes once and TRUNCATES the
+            # candidate lineage, so the rank/write below can never silently
+            # recompute the explode+anti-join pipeline (a plain persist can be
+            # evicted and did, catastrophically, on large rounds)
+            new_urls = new_urls.localCheckpoint(eager=True)
             n_new = new_urls.count()
+            tm.mark("fresh_count")
             if n_new > 0:
                 if n_new <= SMALL_RANK_THRESHOLD:
                     w1 = Window.orderBy("parent_seq", "link_idx")
@@ -394,8 +428,9 @@ def crawl(
                     rnd,
                 )
                 adm_snap = tables["admissions"].write(admitted_f, rnd)
+                tm.mark("admissions_write")
                 admitted_count = min(n_new, n_admit_room)
-            new_urls.unpersist()
+
 
         # ---- next pending frontier (metadata-only when possible) -----------
         if remaining is None:
@@ -416,6 +451,8 @@ def crawl(
             "pending_count": pending_count,
         })
         run.rounds = rnd
+        tm.mark("frontier_commit")
+        tm.report()
 
     return run
 
