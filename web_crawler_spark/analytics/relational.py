@@ -545,6 +545,70 @@ FROM (
 """
 
 
+# --- distinct aggregate (beyond reference; standard warehouse surface) -----
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --- rollup / grouping sets -------------------------------------------------
+
+def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+SQL_STATUS_ROLLUP = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, {sql_dsum('o_totalprice', 'total')}
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- exact percentiles (the metrics-plane statistic, exact flavor) ---------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # exact linear-interpolation percentiles (Spark `percentile` ==
+    # DuckDB `quantile_cont`); the engine's metrics plane uses
+    # percentile_approx for the same stat at unbounded cardinality
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "frontier_schedule": frontier_schedule,
     "seen_antijoin": seen_antijoin,
@@ -565,10 +629,16 @@ QUERIES = {
     "region_volume": region_volume,
     "hourly_rollup": hourly_rollup,
     "url_canonicalize": url_canonicalize,
+    "distinct_users": distinct_users,
+    "status_rollup": status_rollup,
+    "value_percentiles": value_percentiles,
 }
 
 ORACLES = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
+    "distinct_users": SQL_DISTINCT_USERS,
+    "status_rollup": SQL_STATUS_ROLLUP,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "seen_antijoin": SQL_SEEN_ANTIJOIN,
     "enrich_join": SQL_ENRICH_JOIN,

@@ -190,14 +190,85 @@ SELECT query_id, bucket, neighbor_id, rank, sim FROM (
 """
 
 
+N_CENTROIDS = 8  # deterministic coarse quantizer: the first N vectors
+
+
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: assign every vector to its nearest of N_CENTROIDS coarse
+    centroids (the first N vectors — deterministic, no trained k-means), then
+    search only within the query's cell. At 10^10 vectors the cell assignment
+    is one broadcast join + argmax and the search shuffles on cell id."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    )
+    sim_c = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), "cent_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_cs", sim_c)
+        .withColumn("_cr", F.row_number().over(w_assign))
+        .filter(F.col("_cr") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv2"),
+        F.col("nrm").alias("cn2"), "cell",
+    )
+    sim = F.round(F.expr(_DOT.format(a="qv", b="cv2")) / (F.col("qn") * F.col("cn2")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cell", "neighbor_id", "rank", "sim")
+    )
+
+
+SQL_EMBED_IVF_ANN = f"""
+WITH {_SQL_NORMED},
+cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+          FROM normed WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY round({_sql_dot('n.embedding', 'c.cv')} / (n.nrm * c.cn), 6) DESC,
+                      c.cent_id) AS _cr
+    FROM normed n CROSS JOIN cents c
+  ) WHERE _cr = 1
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+         round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
+  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+)
+SELECT query_id, cell, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
     "embed_neardup": embed_neardup,
     "embed_lsh_ann": embed_lsh_ann,
+    "embed_ivf_ann": embed_ivf_ann,
 }
 
 ORACLES = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
+    "embed_ivf_ann": SQL_EMBED_IVF_ANN,
 }
