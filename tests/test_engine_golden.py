@@ -140,3 +140,29 @@ def test_engine_resume_from_snapshot(spark, tmp_path, golden):
     assert run1.rounds == 3  # stopped mid-crawl
     run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
     assert_matches_oracle(spark, run2, golden)
+
+
+def test_engine_resume_discards_partial_round(spark, tmp_path, golden):
+    """Crash simulation: snapshots committed AFTER the last round-state save
+    (a round that died mid-commit) must be rolled back on resume, and the
+    final tables must still match the oracle exactly."""
+    path = str(tmp_path / "crash")
+    run1 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, max_rounds=3)
+    assert run1.rounds == 3
+
+    # fake a partial round 4: stage + admissions snapshots exist but the
+    # round state was never committed (crash between commit and state save)
+    stage_t = run1.tables["stage"]
+    adm_t = run1.tables["admissions"]
+    stage_t.write(run1.read(spark, "stage").limit(5), 4)
+    adm_t.write(run1.read(spark, "admissions").limit(3), 4)
+
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
+    # rollback dropped the partial commits: every round appears at most once
+    # per table (the resumed run re-wrote round 4 cleanly, reusing the id)
+    for t in (run2.tables["stage"], run2.tables["admissions"]):
+        rounds = [s["round"] for s in t._load()]
+        assert len(rounds) == len(set(rounds)), rounds
+    # and — the real guarantee — results are exactly the oracle's (surviving
+    # partial data would duplicate crawl_log rows and fail here)
+    assert_matches_oracle(spark, run2, golden)

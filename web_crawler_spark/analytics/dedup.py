@@ -62,8 +62,26 @@ shcount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split once into a column, index with getItem (cheaper than slice+concat
+    # inside the lambda), dedup after the explode (dropDuplicates partial-
+    # aggregates map-side; array_distinct ran interpreted over every array)
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    return (
+        d.select("doc_id", F.expr(_WORDS).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= 3,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2), "
+                        "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sh"),
+        )
+        .dropDuplicates(["doc_id", "sh"])
+    )
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -140,22 +158,30 @@ WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= {JACCARD_T}
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("i"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "i")
-        .agg(F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh")))).alias("mh"))
+    # all 16 permutation minhashes in ONE grouped pass (16 partial-aggregated
+    # min columns) — a seed crossJoin would multiply the shuffle ×16
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(N_HASHES)
+        ]
     )
-    bands = (
-        mh.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda x: x["mh"]),
-                "|",
-            ).alias("band_key")
-        )
-    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
         .join(bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key"), ["band", "band_key"])
@@ -163,7 +189,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = _jaccard_pairs(sh).select("doc_a", "doc_b", "jaccard")
+    # exact-Jaccard verify over CANDIDATE docs only — the entire point of
+    # LSH: the quadratic shingle self-join runs on the (tiny) candidate doc
+    # set, not the corpus
+    cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    exact = _jaccard_pairs(sh_cand).select("doc_a", "doc_b", "jaccard")
     return (
         cand.join(exact, ["doc_a", "doc_b"])
         .filter(F.col("jaccard") >= JACCARD_T)
