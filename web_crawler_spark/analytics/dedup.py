@@ -366,15 +366,83 @@ WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. duplicate clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicates into clusters (one keeper per component): the
+    step a real dedup pipeline runs after pair detection.
+
+    Iterative min-label propagation — the standard hash-partitioned-join
+    connected-components for graphs too large for one machine; converges in
+    O(component diameter) rounds. The DuckDB oracle is a recursive CTE over
+    the same pair set.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn(
+        "label", F.col("doc")
+    ).localCheckpoint(eager=True)
+    while True:
+        neigh = (
+            edges.join(labels, edges.doc_a == labels.doc)
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc", "left")
+            .select("doc", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id"), "cluster_size")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM (
+  SELECT doc AS doc_id, min(r) AS cluster_id FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a AS a, doc_b AS b FROM ({SQL_DEDUP_MINHASH_LSH.replace(chr(10), ' ')}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "text_simhash": text_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
