@@ -106,6 +106,15 @@ class CrawlRun:
     def read(self, spark: SparkSession, name: str) -> Optional[DataFrame]:
         """Read a physical table or a derived (metadata-only) projection."""
         jid = self.job.job_id
+        if name == "frontier":
+            st = self.state.load() or {}
+            if st.get("frontier") == "derived":
+                adm = self.tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+                if adm is None:
+                    return None
+                lo = st["next_seq"] - st["pending_count"]
+                return adm.filter(F.col("seq") >= lo)
+            return self.tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if name in PHYSICAL_TABLES:
             schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
             return self.tables[name].read(spark, schema=schema)
@@ -280,33 +289,45 @@ def crawl(
         snap = tables["admissions"].write(_frontier_row_cols(seed, 0), 0)
         tables["frontier"].write_ref([snap.path], 0, mode="overwrite")
         rnd, next_seq, seen_count, pending_count = 0, 1, 1, 1
-        state_store.save({"round": 0, "next_seq": 1, "seen_count": 1, "pending_count": 1})
+        state_store.save({"round": 0, "next_seq": 1, "seen_count": 1,
+                          "pending_count": 1, "frontier": "physical"})
 
     fetch_fn = udfs.make_fetch_parse(cfg, job, rules)
+
+    # per_host consumes the frontier non-contiguously and therefore keeps a
+    # physical remaining-frontier table; global/None modes never write a
+    # frontier at all — the pending set IS `admissions WHERE seq >= watermark`
+    # (FIFO invariant: admissions append at the top, scheduling consumes the
+    # contiguous bottom). At 10^10-frontier scale this removes the per-round
+    # O(frontier) rewrite entirely: scheduling is a parquet-stat-pruned filter
+    # over the append-only admissions table.
+    frontier_mode = "physical" if (budget is not None and politeness_mode == "per_host") else "derived"
 
     while rnd < max_rounds and pending_count > 0:
         rnd += 1
         tm = _Timer(rnd)
-        pending = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
+        if frontier_mode == "derived":
+            adm = tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+            lo = next_seq - pending_count
+            pending = adm.filter(F.col("seq") >= lo) if adm is not None else None
+        else:
+            pending = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if pending is None:
             break
         P = min(P_max, max(1, pending_count // ROWS_PER_PARTITION + 1))
 
         # ---- politeness selection (FIFO chunk or per-host quota) ----------
+        remaining = None
         if budget is None:
-            scheduled, remaining = pending, None
+            scheduled = pending
             n_sched = pending_count
         elif politeness_mode == "global":
-            # FIFO invariant: pending is always the contiguous seq range
-            # [next_seq - pending_count, next_seq) — admissions append at the
-            # top, scheduling consumes from the bottom. So the budget chunk is
-            # a pure parallel filter: no global sort, no single-reducer
+            # budget chunk = pure parallel range filter on the contiguous
+            # pending seq interval: no global sort, no single-reducer
             # TakeOrdered, no anti-join (those serialized every round and
-            # capped scaling efficiency at ~0.4 before this).
-            lo = next_seq - pending_count
-            lim = lo + budget
+            # capped scaling efficiency at ~0.4 before this)
+            lim = (next_seq - pending_count) + budget
             scheduled = pending.filter(F.col("seq") < lim)
-            remaining = pending.filter(F.col("seq") >= lim)
             n_sched = min(budget, pending_count)
         else:  # per_host: window rank within host by priority (seq)
             w = Window.partitionBy("host").orderBy("seq")
@@ -432,23 +453,21 @@ def crawl(
                 admitted_count = min(n_new, n_admit_room)
 
 
-        # ---- next pending frontier (metadata-only when possible) -----------
-        if remaining is None:
-            paths = [adm_snap.path] if adm_snap else []
-            tables["frontier"].write_ref(paths, rnd, mode="overwrite")
-            pending_count = admitted_count
-        else:
+        # ---- next pending frontier ------------------------------------------
+        # derived mode: nothing to write — the watermark in the round state is
+        # the whole frontier update. per_host: physical remaining + admissions ref.
+        if frontier_mode == "physical":
             tables["frontier"].write(remaining, rnd, mode="overwrite")
             if adm_snap:
                 tables["frontier"].write_ref([adm_snap.path], rnd, mode="append")
-            pending_count = (pending_count - n_sched) + admitted_count
+        pending_count = (pending_count - n_sched) + admitted_count
 
         # ---- commit round state (the resume point) -------------------------
         next_seq += admitted_count
         seen_count += admitted_count
         state_store.save({
             "round": rnd, "next_seq": next_seq, "seen_count": seen_count,
-            "pending_count": pending_count,
+            "pending_count": pending_count, "frontier": frontier_mode,
         })
         run.rounds = rnd
         tm.mark("frontier_commit")
