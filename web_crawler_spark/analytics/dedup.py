@@ -32,6 +32,14 @@ N_BANDS = 8
 ROWS_PER_BAND = 2
 JACCARD_T = 0.5
 HAMMING_T = 12
+# document-frequency cap for the exact n-gram tier: a shingle present in more
+# than this many documents is boilerplate — it contributes candidate pairs
+# quadratically (df² rows out of the self-join) but no discrimination. One
+# shingle shared by 10⁶ docs would emit a 10¹²-row join partition; dropping
+# df>cap shingles bounds the self-join at O(cap · total_shingles) while
+# keeping near-identical pairs (their discriminating shingles are rare by
+# definition). Mirrored exactly in the DuckDB oracle.
+SHINGLE_DF_CAP = 50
 
 # ---------------------------------------------------------------------------
 # shared shingle / token fragments
@@ -130,7 +138,19 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _jaccard_pairs(_shingles_df(spark, sf_dir))
+    sh = _shingles_df(spark, sf_dir)
+    # drop boilerplate shingles (df > cap) BEFORE the self-join: the hot set
+    # is tiny by definition (≤ total_occurrences/cap shingles), so the
+    # anti-join broadcasts it; Jaccard is then over discriminative shingles
+    # only, identically on both engines
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    pairs = _jaccard_pairs(kept)
     return pairs.filter(F.col("jaccard") >= JACCARD_T).select(
         "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
     )
@@ -138,16 +158,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH {SQL_SHINGLE_CTE},
+kept AS (
+  SELECT s.doc_id, s.sh FROM shingle s
+  JOIN (SELECT sh FROM shingle GROUP BY sh
+        HAVING count(*) <= {SHINGLE_DF_CAP}) k ON k.sh = s.sh
+),
+kcount AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
        CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
 FROM inter
-JOIN shcount ca ON ca.doc_id = doc_a
-JOIN shcount cb ON cb.doc_id = doc_b
+JOIN kcount ca ON ca.doc_id = doc_a
+JOIN kcount cb ON cb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= {JACCARD_T}
 """
 

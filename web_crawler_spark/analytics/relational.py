@@ -172,11 +172,14 @@ FROM documents
 def status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("cnt"))
-    total = Window.partitionBy()
-    return counts.select(
+    # broadcast the 1-row grand total instead of an empty-partition window
+    # (Window.partitionBy() collapses the post-agg rows to one task and logs
+    # `WindowExec: No Partition Defined`; harmless at 3 rows, wrong pattern)
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "o_orderstatus",
         "cnt",
-        (F.col("cnt") * 100.0 / F.sum("cnt").over(total)).alias("share_pct"),
+        (F.col("cnt") * 100.0 / F.col("_total")).alias("share_pct"),
     )
 
 
@@ -240,15 +243,19 @@ ORDER BY o_orderdate, l_orderkey, l_linenumber LIMIT 500
 def admission_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # cumulative admission rank over the global priority order; <= cap keeps
-    # the reference's mid-level truncation semantics. At scale this exact
-    # pattern runs through engine.global_rank (two-phase, no single-partition
-    # window); here the declarative window states the semantics.
-    w = Window.orderBy("ts", "event_id")
+    # the reference's mid-level truncation semantics. Ranking runs through
+    # the engine's two-phase global_rank (range-partition + per-partition
+    # row_number + offsets) — never a single-partition window, so the
+    # registered query IS the plan you'd run at 100× (the old
+    # `Window.orderBy(...)` form emitted `WindowExec: No Partition Defined`
+    # and moved every row to one task).
+    from ..engine import global_rank
+
+    cand = ev.filter(F.col("event_type") == "view").select("event_id", "ts")
+    ranked = global_rank(cand, ["ts", "event_id"], "admission_rank")
     return (
-        ev.filter(F.col("event_type") == "view")
-        .withColumn("admission_rank", F.row_number().over(w))
-        .filter(F.col("admission_rank") <= 500)
-        .select("event_id", "admission_rank")
+        ranked.filter(F.col("admission_rank") <= 500)
+        .select("event_id", F.col("admission_rank").cast("int").alias("admission_rank"))
     )
 
 

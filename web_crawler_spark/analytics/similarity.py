@@ -27,6 +27,23 @@ TOP_K = 5
 NEARDUP_T = 0.35
 N_PLANES = 8
 
+# The brute-force entries are EXACTNESS BASELINES, not scale paths: their
+# plans contain a cartesian product, which is O(n²) pairs. Refuse to run them
+# above this input cardinality so the registered query can never emit a
+# 10²⁰-pair plan against a production corpus — callers at scale must use
+# embed_lsh_ann / embed_ivf_ann (bucketed) instead.
+BRUTE_FORCE_CAP = 100_000
+
+
+def _guard_brute_force(df: DataFrame, query: str, cap: int = BRUTE_FORCE_CAP) -> None:
+    n = df.count()  # parquet-metadata count on a plain scan — cheap
+    if n > cap:
+        raise ValueError(
+            f"{query} is the O(n²) exactness baseline and refuses inputs over "
+            f"{cap} vectors (got {n}); use embed_lsh_ann or embed_ivf_ann for "
+            "corpus-scale similarity search"
+        )
+
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
     "cast(0 as double), (acc, v) -> acc + v)"
@@ -53,7 +70,9 @@ normed AS (
 
 
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    raw = table(spark, sf_dir, "embeddings")
+    _guard_brute_force(raw, "embed_cosine_topk")
+    e = _with_norm(raw)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -87,7 +106,9 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 
 
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    raw = table(spark, sf_dir, "embeddings")
+    _guard_brute_force(raw, "embed_neardup")
+    e = _with_norm(raw)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
                  F.col("nrm").alias("na"), F.col("label").alias("label_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),

@@ -191,7 +191,9 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str) -> DataFram
     """Dense 1-based global rank in (order_cols) order — scalably.
 
     Two-phase: range-partition + sort by the order columns, freeze the
-    partitioning (persist), compute per-partition sizes (tiny collect), then
+    partitioning (eager localCheckpoint — materializes once, truncates
+    lineage, and its blocks are released on GC instead of accumulating like
+    an unpersisted cache), compute per-partition sizes (tiny collect), then
     rank = partition offset + intra-partition row_number. No single-partition
     window anywhere, so this survives a 10^10-row candidate set; ties are
     impossible because (parent_seq, link_idx) is unique by construction.
@@ -200,7 +202,7 @@ def global_rank(df: DataFrame, order_cols: list[str], rank_col: str) -> DataFram
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
