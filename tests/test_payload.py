@@ -41,3 +41,52 @@ def test_payload_detects_corruption(spark):
     assert len(rows) == 5
     assert all(not r["decode_ok"] and not r["pixels_ok"] for r in rows)
     assert all(r["caption_ok"] for r in rows)  # captions untouched
+
+
+# ---------------------------------------------------------------------------
+# audio codec (WCSA): pure-python round-trip + invariant properties
+# ---------------------------------------------------------------------------
+
+
+def test_audiocodec_roundtrip_lossless():
+    import numpy as np
+
+    from web_crawler_spark.core import audiocodec
+
+    s = audiocodec.reference_samples("aud-x", 2048)
+    data = audiocodec.encode(s, 16000, "pcm")
+    dec, sr, fmt = audiocodec.decode(data)
+    assert sr == 16000 and fmt == "pcm"
+    assert np.array_equal(dec, s)
+
+
+def test_audiocodec_lossy_snr_and_corruption():
+    import pytest
+
+    from web_crawler_spark.core import audiocodec
+
+    s = audiocodec.reference_samples("aud-y", 4000)
+    data = audiocodec.encode(s, 8000, "pcm8")
+    dec, sr, fmt = audiocodec.decode(data)
+    assert fmt == "pcm8" and len(dec) == len(s)
+    assert audiocodec.snr_db(s, dec) >= audiocodec.SNR_OK_DB
+    with pytest.raises(ValueError):
+        audiocodec.decode(b"corrupted!")
+    with pytest.raises(ValueError):
+        audiocodec.decode(data[:-3])  # truncated payload
+    with pytest.raises(NotImplementedError):
+        audiocodec.encode(s, 8000, "opus")  # real codecs absent in sandbox
+
+
+def test_audio_features_deterministic():
+    from web_crawler_spark.core import audiocodec
+
+    r1 = audiocodec.audio_row("aud-7", seed=42)
+    r2 = audiocodec.audio_row("aud-7", seed=42)
+    assert r1 == r2
+    dec, sr, _ = audiocodec.decode(r1["bytes"])
+    f1 = audiocodec.features(dec, sr)
+    f2 = audiocodec.features(dec, sr)
+    assert f1 == f2
+    assert f1["duration_s"] == len(dec) / sr
+    assert 0 <= f1["n_clipped"] <= len(dec)

@@ -12,13 +12,23 @@ These are the non-SQL-expressible entries: no DuckDB oracle (binary payloads
 + numpy decode), so the driver records the weaker rows-only check; exactness
 is covered by tests/test_payload.py and tests/test_analytics.py instead.
 
-The images here are synthesized deterministically from `documents.doc_id`
-(one image per doc, seed-keyed) — no external data, same shape as the
-input_hint images table.
+The images/audio here are synthesized deterministically from
+`documents.doc_id` (one payload per doc, seed-keyed) — no external data, same
+shape as the input_hint images table.
+
+Oracle pairing: the codec is a pure deterministic function of the id, so the
+expected per-payload metrics are precomputed DRIVER-SIDE with the same
+pure-Python codec (no Spark, no Arrow, no executors — an independent
+execution path) and inlined as a VALUES table in the DuckDB oracle, joined
+against the actual `documents` id prefix so an id drift still fails loudly.
+The comparison therefore verifies the full distributed plumbing (binary
+through Arrow, mapInPandas batching, aggregation) against a single-process
+ground truth.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -27,9 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import imagecodec
+from ..core import audiocodec, imagecodec
 from ..functions import udfs
-from ..schemas import IMAGES_SCHEMA
+from ..schemas import AUDIO_SCHEMA, IMAGES_SCHEMA
 from .common import table
 
 N_IMAGES = 200  # images synthesized per run (first N doc_ids)
@@ -135,9 +145,224 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# audio modality: binary clips through the same decode/validate/feature path
+# ---------------------------------------------------------------------------
+
+N_AUDIO = 200  # clips synthesized per run (first N doc_ids)
+
+
+def _audios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic audio table keyed on doc_id (WCSA clips, int16 PCM)."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_AUDIO)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [audiocodec.audio_row(f"aud-{doc_id}", seed=42) for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return ids.repartition(8, "doc_id").mapInPandas(gen, AUDIO_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("sr", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("samples_ok", T.BooleanType(), False),  # exact / SNR>=30 for lossy
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("n_clipped", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: decode WCSA bytes → invariant flags + scalar features."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            rec = dict(audio_id=r.audio_id, fmt=None, sr=None, n_samples=None,
+                       decode_ok=False, samples_ok=False, duration_s=None,
+                       rms=None, peak=None, n_clipped=None, zero_crossings=None)
+            try:
+                samples, sr, fmt = audiocodec.decode(bytes(r.bytes))
+                ref = audiocodec.reference_samples(r.audio_id, len(samples))
+                if fmt in audiocodec.LOSSY_FMTS:
+                    ok = audiocodec.snr_db(ref, samples) >= audiocodec.SNR_OK_DB
+                else:
+                    ok = bool(np.array_equal(samples, ref))
+                rec.update(
+                    fmt=fmt, sr=sr, n_samples=len(samples),
+                    decode_ok=bool(sr == r.sr and len(samples) == r.n_samples and fmt == r.fmt),
+                    samples_ok=bool(ok),
+                    **audiocodec.features(samples, sr),
+                )
+            except (ValueError, NotImplementedError):
+                pass  # corrupt/unsupported -> nulls, counted downstream
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format audio validation/feature rollup. All aggregates are
+    order-independent (counts, int sums, min/max) — no double SUMs."""
+    feats = _audios(spark, sf_dir).mapInPandas(extract_audio, AUDIO_FEATURES_SCHEMA)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decode_pass"),
+            F.sum(F.when(F.col("samples_ok"), 1).otherwise(0)).alias("samples_pass"),
+            F.min("sr").alias("min_sr"),
+            F.max("sr").alias("max_sr"),
+            F.sum(F.col("n_samples").cast("bigint")).alias("total_samples"),
+            F.sum(F.col("n_clipped").cast("bigint")).alias("total_clipped"),
+            F.sum(F.col("zero_crossings").cast("bigint")).alias("total_zero_crossings"),
+            F.min("duration_s").alias("min_duration_s"),
+            F.max("rms").alias("max_rms"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("fmt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: driver-side expected metrics inlined as VALUES tables
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip — parses back to the same double
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _values(rows: list[tuple]) -> str:
+    return ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+
+
+def _expected_image_metrics() -> list[tuple]:
+    """Pure-Python expected per-image metrics, same semantics as
+    udfs.decode_validate + extract_features but computed in-process."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r = imagecodec.image_row(iid, seed=42)
+        px, w, h, fmt = imagecodec.decode(r["bytes"])
+        ref = imagecodec.reference_pixels(iid, w, h)
+        if fmt in imagecodec.LOSSY_FMTS:
+            p = imagecodec.psnr(px, ref)
+            psnr_db = None if math.isinf(p) else p
+            pixels_ok = p >= 40.0
+        else:
+            psnr_db, pixels_ok = None, bool(np.array_equal(px, ref))
+        out.append((
+            iid, fmt, w, h,
+            int(w == r["w"] and h == r["h"] and fmt == r["fmt"]),
+            int(pixels_ok),
+            int(imagecodec.phash64(px) == r["phash"]),
+            1,  # caption_ok: the query compares the caption to itself
+            psnr_db,
+        ))
+    return out
+
+
+def _expected_audio_metrics() -> list[tuple]:
+    out = []
+    for i in range(N_AUDIO):
+        aid = f"aud-{i}"
+        r = audiocodec.audio_row(aid, seed=42)
+        samples, sr, fmt = audiocodec.decode(r["bytes"])
+        ref = audiocodec.reference_samples(aid, len(samples))
+        if fmt in audiocodec.LOSSY_FMTS:
+            ok = audiocodec.snr_db(ref, samples) >= audiocodec.SNR_OK_DB
+        else:
+            ok = bool(np.array_equal(samples, ref))
+        f = audiocodec.features(samples, sr)
+        out.append((
+            aid, fmt, sr, len(samples),
+            int(sr == r["sr"] and len(samples) == r["n_samples"] and fmt == r["fmt"]),
+            int(ok), f["duration_s"], f["rms"], f["peak"], f["n_clipped"],
+            f["zero_crossings"],
+        ))
+    return out
+
+
+def _img_sel(n: int) -> str:
+    return (
+        f"sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id\n"
+        f"       FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n}))"
+    )
+
+
+SQL_MULTIMODAL_VALIDATE = f"""
+WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
+  VALUES {_values(_expected_image_metrics())}
+),
+{_img_sel(N_IMAGES)}
+SELECT fmt, count(*) AS n_images,
+       CAST(sum(decode_ok) AS BIGINT) AS decode_pass,
+       CAST(sum(pixels_ok) AS BIGINT) AS pixels_pass,
+       CAST(sum(phash_ok) AS BIGINT) AS phash_pass,
+       CAST(sum(caption_ok) AS BIGINT) AS caption_pass,
+       min(coalesce(psnr_db, 99.0)) AS min_psnr_db
+FROM sel JOIN expected USING (image_id)
+GROUP BY fmt ORDER BY fmt
+"""
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
+  VALUES {_values(_expected_image_metrics())}
+),
+{_img_sel(N_IMAGES)}
+SELECT fmt, count(*) AS n_images,
+       CAST(sum(decode_ok) AS BIGINT) AS n_decoded,
+       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
+FROM sel JOIN expected USING (image_id)
+GROUP BY fmt ORDER BY fmt
+"""
+
+SQL_MULTIMODAL_AUDIO = f"""
+WITH expected(audio_id, fmt, sr, n_samples, decode_ok, samples_ok, duration_s,
+              rms, peak, n_clipped, zero_crossings) AS (
+  VALUES {_values(_expected_audio_metrics())}
+),
+sel AS (SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS audio_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_AUDIO}))
+SELECT fmt, count(*) AS n_clips,
+       CAST(sum(decode_ok) AS BIGINT) AS decode_pass,
+       CAST(sum(samples_ok) AS BIGINT) AS samples_pass,
+       min(sr) AS min_sr, max(sr) AS max_sr,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+       CAST(sum(n_clipped) AS BIGINT) AS total_clipped,
+       CAST(sum(zero_crossings) AS BIGINT) AS total_zero_crossings,
+       min(duration_s) AS min_duration_s,
+       max(rms) AS max_rms,
+       max(peak) AS max_peak
+FROM sel JOIN expected USING (audio_id)
+GROUP BY fmt ORDER BY fmt
+"""
+
+
 QUERIES = {
     "multimodal_validate": multimodal_validate,
     "multimodal_features": multimodal_features,
+    "multimodal_audio": multimodal_audio,
 }
 
-ORACLES: dict[str, str] = {}  # binary+numpy ops: rows-only driver check by design
+ORACLES = {
+    "multimodal_validate": SQL_MULTIMODAL_VALIDATE,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+}
