@@ -52,8 +52,7 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         args = args[:i] + args[i + 2:]
-    args = [a for a in args if not os.path.isdir(a)] + [a for a in args if os.path.isdir(a) and not a]
-    only = set(a for a in args)
+    only = set(args)
 
     from web_crawler_spark.analytics import ORACLES, QUERIES
     from web_crawler_spark.session import get_spark

@@ -11,6 +11,7 @@ against the pure-Python reference-semantics simulator instead.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,18 +34,24 @@ def crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         delay=0.0,
     )
     storage = tempfile.mkdtemp(prefix="wcs_crawlq_", dir=os.environ.get("TMPDIR", "/tmp"))
-    run = engine.crawl(spark, job, cfg, rules, storage)
-    log = run.read(spark, "crawl_log")
-    return log.select(
-        "schedule_rank",
-        "url",
-        "depth",
-        "status_code",
-        "title",
-        F.col("content.word_count").alias("word_count"),
-        F.col("content.links_count").alias("links_count"),
-        F.col("payload.image_id").alias("image_id"),
-    ).orderBy("schedule_rank")
+    try:
+        run = engine.crawl(spark, job, cfg, rules, storage)
+        log = run.read(spark, "crawl_log")
+        out = log.select(
+            "schedule_rank",
+            "url",
+            "depth",
+            "status_code",
+            "title",
+            F.col("content.word_count").alias("word_count"),
+            F.col("content.links_count").alias("links_count"),
+            F.col("payload.image_id").alias("image_id"),
+        ).orderBy("schedule_rank")
+        # the returned plan must not read the deleted run directory: pin the
+        # (30-row) result in memory before cleaning up the crawl storage
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(storage, ignore_errors=True)
 
 
 QUERIES = {"crawl_bfs": crawl_bfs}

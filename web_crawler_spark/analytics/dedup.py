@@ -337,8 +337,11 @@ SQL_TEXT_SIMHASH = f"WITH {SQL_SIMHASH_CTE} SELECT doc_id, b0, b1, b2, b3 FROM s
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache: the signature plan feeds the candidate join AND both pair sides
-    sig = _simhash_df(spark, sf_dir).persist()
+    # the signature plan feeds the candidate join AND both pair sides: eager
+    # localCheckpoint materializes it once and its blocks are freed on GC
+    # (a bare .persist() here accumulated cached blocks across calls in a
+    # long-lived session)
+    sig = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
     blocks = sig.select(
         "doc_id",
         F.explode(
@@ -418,18 +421,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the old label through the SAME join that computes the update,
+        # so the convergence check is a filter+count over the materialized
+        # result — no second label-vs-label join per iteration
+        upd = (
             labels.join(neigh, "doc", "left")
-            .select("doc", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+            .select(
+                "doc",
+                F.col("label").alias("_old"),
+                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("_old")).count()
+        labels = upd.select("doc", "label")
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
