@@ -55,7 +55,7 @@ def test_every_query_has_registry_consistency():
     # documented rows-only set (iterative engine + binary payload ops)
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"crawl_bfs", "multimodal_validate", "multimodal_features"}
+    assert rows_only == {"crawl_bfs"}  # the iterative engine is the only non-SQL op left
 
 
 def test_multimodal_validation_invariants(spark):

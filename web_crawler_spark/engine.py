@@ -36,6 +36,10 @@ Scale design (the 10^10-frontier story):
 - the seen anti-join is the dominant shuffle; the broadcast bloom prefilter
   routes definitely-new candidates around it (false positives only cost time —
   the exact anti-join remains the source of truth).
+- NO mode writes a physical frontier: global/FIFO modes derive pending from
+  a single seq watermark; per_host derives it from an O(active hosts)
+  host→consumed-seq watermark map kept in the round state (per-host
+  consumption is a contiguous per-host seq prefix by construction).
 - politeness is a virtual-clock budget (the reference sleeps ``delay`` seconds
   between requests, crawler.py:637-638 ⇒ ≤ round_seconds/delay fetches per
   round), so ordering is timing-independent and reproducible.
@@ -108,12 +112,16 @@ class CrawlRun:
         jid = self.job.job_id
         if name == "frontier":
             st = self.state.load() or {}
-            if st.get("frontier") == "derived":
+            mode = st.get("frontier")
+            if mode in ("derived", "derived_per_host"):
                 adm = self.tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
                 if adm is None:
                     return None
-                lo = st["next_seq"] - st["pending_count"]
-                return adm.filter(F.col("seq") >= lo)
+                if mode == "derived":
+                    lo = st["next_seq"] - st["pending_count"]
+                    return adm.filter(F.col("seq") >= lo)
+                return _apply_host_watermarks(spark, adm, st.get("host_watermarks", {}))
+            # legacy physical-frontier runs (pre-watermark per_host)
             return self.tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if name in PHYSICAL_TABLES:
             schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
@@ -145,9 +153,13 @@ class CrawlRun:
                 "job_id", "from_url", "to_url", "link_text", "link_idx", "from_depth"
             )
         if name == "metrics":
-            # per-(round, partition, host_bucket) lineage per north_rule
+            # per-(round, partition, host_bucket) lineage per north_rule.
+            # robots-disallowed rows never hit the network (attempts=0,
+            # latency=0): keep them out so rows_in / latency percentiles /
+            # histogram keep the reference's post-gate fetch semantics
             return (
-                stage.groupBy("round", "partition_id", "host_bucket")
+                stage.filter(F.col("outcome") != "disallowed")
+                .groupBy("round", "partition_id", "host_bucket")
                 .agg(
                     F.count("*").alias("rows_in"),
                     F.sum(F.when(F.col("outcome") == "parsed", 1).otherwise(0)).alias("rows_out"),
@@ -231,9 +243,27 @@ def _frontier_row_cols(df: DataFrame, round_added: int) -> DataFrame:
         .withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host_bucket", F.pmod(F.xxhash64("host"), F.lit(N_HOST_BUCKETS)).cast("int"))
         .withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int"))
-        .withColumn("attempt", F.lit(0))
         .withColumn("round_added", F.lit(round_added))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+def _apply_host_watermarks(spark: SparkSession, adm: DataFrame, wm: dict) -> DataFrame:
+    """Per-host pending derivation: pending = admissions rows whose seq lies
+    beyond their host's consumed watermark. Within a host, scheduling always
+    consumes the lowest pending seqs first, so the consumed set is a contiguous
+    per-host seq prefix and one long per host describes it exactly. State is
+    O(active hosts) (broadcast-joined), frontier I/O is zero — admissions stay
+    append-only and this filter is parquet-stat-prunable on seq."""
+    if not wm:
+        return adm
+    wm_df = spark.createDataFrame(
+        [(h, int(s)) for h, s in wm.items()], "host string, _wm long"
+    )
+    return (
+        adm.join(F.broadcast(wm_df), "host", "left")
+        .filter(F.col("seq") > F.coalesce(F.col("_wm"), F.lit(-1)))
+        .drop("_wm")
     )
 
 
@@ -272,15 +302,38 @@ def crawl(
 
     P_max = int(fetch_partitions or spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # NO mode writes a physical frontier — the pending set is always derived
+    # from the append-only admissions table (Iceberg-style metadata-only
+    # frontier). global/None: pending = `seq >= next_seq - pending_count`
+    # (FIFO invariant: admissions append at the top, scheduling consumes the
+    # contiguous bottom). per_host: per-host consumption is still a contiguous
+    # per-host seq prefix, so pending = `seq > host_watermark[host]` with an
+    # O(active hosts) watermark map in the round state. At 10^10-frontier
+    # scale this removes every per-round O(frontier) write: scheduling is a
+    # parquet-stat-pruned filter over the admissions table.
+    frontier_mode = (
+        "derived_per_host" if (budget is not None and politeness_mode == "per_host") else "derived"
+    )
+    host_wm: dict[str, int] = {}
+
     if resume and (state := state_store.load()):
+        if state.get("frontier") not in ("derived", "derived_per_host"):
+            raise ValueError(
+                "cannot resume a legacy physical-frontier run state; restart the crawl"
+            )
+        if state["frontier"] != frontier_mode:
+            raise ValueError(
+                f"resume politeness mismatch: state was {state['frontier']!r}, "
+                f"requested {frontier_mode!r}"
+            )
         # roll back any table snapshot committed after the last full round
         for t in tables.values():
             t.rollback_to_round(state["round"])
         rnd, next_seq, seen_count = state["round"], state["next_seq"], state["seen_count"]
-        pending_count = state.get("pending_count")
-        if pending_count is None:
-            pend = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
-            pending_count = pend.count() if pend is not None else 0
+        # every state save writes pending_count — a missing key means a
+        # foreign/corrupt state file, not a valid resume point
+        pending_count = state["pending_count"]
+        host_wm = dict(state.get("host_watermarks", {}))
     else:
         # round 0: seed the frontier and the seen set (crawler.py:611-612 —
         # the start URL is admitted as-is, uncanonicalized)
@@ -288,38 +341,30 @@ def crawl(
             [(job.job_id, 0, job.start_url, 0, -1, -1)],
             "job_id int, seq long, url string, depth int, parent_seq long, link_idx int",
         )
-        snap = tables["admissions"].write(_frontier_row_cols(seed, 0), 0)
-        tables["frontier"].write_ref([snap.path], 0, mode="overwrite")
+        tables["admissions"].write(_frontier_row_cols(seed, 0), 0)
         rnd, next_seq, seen_count, pending_count = 0, 1, 1, 1
-        state_store.save({"round": 0, "next_seq": 1, "seen_count": 1,
-                          "pending_count": 1, "frontier": "physical"})
+        st0 = {"round": 0, "next_seq": 1, "seen_count": 1,
+               "pending_count": 1, "frontier": frontier_mode}
+        if frontier_mode == "derived_per_host":
+            st0["host_watermarks"] = {}
+        state_store.save(st0)
 
     fetch_fn = udfs.make_fetch_parse(cfg, job, rules)
-
-    # per_host consumes the frontier non-contiguously and therefore keeps a
-    # physical remaining-frontier table; global/None modes never write a
-    # frontier at all — the pending set IS `admissions WHERE seq >= watermark`
-    # (FIFO invariant: admissions append at the top, scheduling consumes the
-    # contiguous bottom). At 10^10-frontier scale this removes the per-round
-    # O(frontier) rewrite entirely: scheduling is a parquet-stat-pruned filter
-    # over the append-only admissions table.
-    frontier_mode = "physical" if (budget is not None and politeness_mode == "per_host") else "derived"
 
     while rnd < max_rounds and pending_count > 0:
         rnd += 1
         tm = _Timer(rnd)
-        if frontier_mode == "derived":
-            adm = tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
-            lo = next_seq - pending_count
-            pending = adm.filter(F.col("seq") >= lo) if adm is not None else None
-        else:
-            pending = tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
-        if pending is None:
+        adm = tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+        if adm is None:
             break
+        if frontier_mode == "derived":
+            lo = next_seq - pending_count
+            pending = adm.filter(F.col("seq") >= lo)
+        else:
+            pending = _apply_host_watermarks(spark, adm, host_wm)
         P = min(P_max, max(1, pending_count // ROWS_PER_PARTITION + 1))
 
         # ---- politeness selection (FIFO chunk or per-host quota) ----------
-        remaining = None
         if budget is None:
             scheduled = pending
             n_sched = pending_count
@@ -335,8 +380,7 @@ def crawl(
             w = Window.partitionBy("host").orderBy("seq")
             ranked = pending.withColumn("_hr", F.row_number().over(w))
             scheduled = ranked.filter(F.col("_hr") <= budget).drop("_hr")
-            remaining = ranked.filter(F.col("_hr") > budget).drop("_hr")
-            n_sched = None  # unknown without a count; resolved below
+            n_sched = None  # resolved below from the stage parquet
 
         # ---- fused gate+fetch+parse stage (salt-spread partitions defeat
         # hot-host skew); ONE write, everything downstream is a projection ---
@@ -353,12 +397,20 @@ def crawl(
         tm.mark("stage_write")
         stage = spark.read.schema(STAGE_SCHEMA).parquet(snap.path)
         if n_sched is None:
-            n_sched = stage.count()  # parquet-metadata count (cheap)
+            # per_host: one tiny agg over THIS round's just-written stage
+            # parquet (O(scheduled) rows, O(hosts) output) both counts the
+            # consumed rows and advances each host's watermark — the whole
+            # frontier update is this dict merge, no remaining-table rewrite
+            per_host = stage.groupBy("host").agg(
+                F.max("seq").alias("_mx"), F.count("*").alias("_cnt")
+            ).collect()
+            n_sched = sum(r["_cnt"] for r in per_host)
+            for r in per_host:
+                host_wm[r["host"]] = max(int(r["_mx"]), host_wm.get(r["host"], -1))
 
         # ---- candidate children → dedup → anti-join seen → admission -------
         n_admit_room = job.max_pages - seen_count
         admitted_count = 0
-        adm_snap = None
         if n_admit_room > 0:
             candidates = (
                 _links_of(stage, job.job_id)
@@ -436,8 +488,15 @@ def crawl(
             tm.mark("fresh_count")
             if n_new > 0:
                 if n_new <= SMALL_RANK_THRESHOLD:
-                    w1 = Window.orderBy("parent_seq", "link_idx")
-                    ranked = new_urls.coalesce(1).withColumn("_adm", F.row_number().over(w1))
+                    # deliberate single-reducer rank for small rounds (3 jobs
+                    # → 1): one coalesced partition, sort inside it, number
+                    # rows in iterator order. No WindowExec at all — ids in a
+                    # single partition are 0..n-1 by definition
+                    ranked = (
+                        new_urls.coalesce(1)
+                        .sortWithinPartitions("parent_seq", "link_idx")
+                        .withColumn("_adm", F.monotonically_increasing_id() + 1)
+                    )
                 else:
                     ranked = global_rank(new_urls, ["parent_seq", "link_idx"], "_adm")
                 admitted = (
@@ -450,27 +509,26 @@ def crawl(
                     admitted.select("job_id", "seq", "url", "depth", "parent_seq", "link_idx"),
                     rnd,
                 )
-                adm_snap = tables["admissions"].write(admitted_f, rnd)
+                tables["admissions"].write(admitted_f, rnd)
                 tm.mark("admissions_write")
                 admitted_count = min(n_new, n_admit_room)
 
 
-        # ---- next pending frontier ------------------------------------------
-        # derived mode: nothing to write — the watermark in the round state is
-        # the whole frontier update. per_host: physical remaining + admissions ref.
-        if frontier_mode == "physical":
-            tables["frontier"].write(remaining, rnd, mode="overwrite")
-            if adm_snap:
-                tables["frontier"].write_ref([adm_snap.path], rnd, mode="append")
+        # ---- next pending frontier: nothing to write in ANY mode — the
+        # (global or per-host) watermark in the round state IS the frontier
+        # update; admissions stay append-only
         pending_count = (pending_count - n_sched) + admitted_count
 
         # ---- commit round state (the resume point) -------------------------
         next_seq += admitted_count
         seen_count += admitted_count
-        state_store.save({
+        st = {
             "round": rnd, "next_seq": next_seq, "seen_count": seen_count,
             "pending_count": pending_count, "frontier": frontier_mode,
-        })
+        }
+        if frontier_mode == "derived_per_host":
+            st["host_watermarks"] = host_wm
+        state_store.save(st)
         run.rounds = rnd
         tm.mark("frontier_commit")
         tm.report()

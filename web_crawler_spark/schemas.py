@@ -110,7 +110,8 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("parent_seq", T.LongType(), False),
         T.StructField("link_idx", T.IntegerType(), False),
-        T.StructField("attempt", T.IntegerType(), False),
+        # retries are intra-fetch (reference-faithful, crawler.py:147-190), so
+        # admissions never re-enter the frontier — no attempt counter here
         T.StructField("round_added", T.IntegerType(), False),
     ]
 )
