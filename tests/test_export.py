@@ -53,3 +53,30 @@ def test_preview_shape(spark, run_and_golden):
     assert prev["n_pages"] == res.stats["pages_successful"]
     assert prev["pages_preview"][0]["url"] == res.crawl_log[0]["url"]
     assert prev["estimated_size_bytes"] > 0
+
+
+def test_jsonl_export_matches_collected_doc(spark, run_and_golden, tmp_path):
+    """Distributed jsonl export content == the driver-collected nested doc."""
+    import glob
+    import json as _json
+
+    run, _ = run_and_golden
+    out = str(tmp_path / "jsonl")
+    export.export_job_jsonl(spark, run, out)
+    lines = []
+    for part in sorted(glob.glob(out + "/part-*")):
+        with open(part) as f:
+            lines.extend(_json.loads(ln) for ln in f if ln.strip())
+    doc_pages = export.export_job_json(spark, run)["crawled_data"]["pages"]
+    assert len(lines) == len(doc_pages)
+    # part files concatenated in order give the global schedule_rank order
+    assert [p["schedule_rank"] for p in lines] == sorted(p["schedule_rank"] for p in lines)
+    by_rank = {p["schedule_rank"]: p for p in lines}
+    for p in doc_pages:
+        j = by_rank[p["schedule_rank"]]
+        assert j["url"] == p["url"] and j["title"] == p["title"]
+        assert j["depth"] == p["depth"] and j["status_code"] == p["status_code"]
+        assert j["metadata"] == p["metadata"]
+        assert j["headings"] == p["headings"]
+        assert j["content"] == p["content"]
+        assert j["links"] == p["links"]

@@ -121,3 +121,35 @@ def write_export(spark: SparkSession, run: CrawlRun, path: str) -> Optional[str]
     with open(path, "w") as f:
         json.dump(doc, f, ensure_ascii=False)
     return path
+
+
+def export_job_jsonl(spark: SparkSession, run: CrawlRun, path: str) -> str:
+    """Engine-scale export: the same per-page nested doc as
+    ``export_job_json()["crawled_data"]["pages"]`` written as JSON Lines by
+    the executors (``df.write.text``) — no driver collect, so a 10^8-page
+    crawl exports at cluster bandwidth instead of OOMing the driver.
+
+    ``export_job_json`` stays as the reference-shaped small export
+    (``Crawler/app.py:409-443``, bounded by the reference's max_pages ≤ 1000,
+    app.py:206-216); this is the path for crawls the reference could never
+    hold in one response. Rows are range-partitioned and sorted by
+    schedule_rank, so concatenating part files in order yields the global
+    crawl order; each line also carries schedule_rank for re-sorting.
+    """
+    pw = _pages_with_links(spark, run)
+    (
+        pw.repartitionByRange("schedule_rank")
+        .sortWithinPartitions("schedule_rank")
+        .select(
+            F.to_json(
+                F.struct(
+                    "url", "title", "depth", "status_code", "schedule_rank",
+                    "metadata", "headings", "content", "links",
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return path
