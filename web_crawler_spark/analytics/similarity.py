@@ -25,7 +25,7 @@ DIM = 64
 N_QUERIES = 32
 TOP_K = 5
 NEARDUP_T = 0.35
-N_PLANES = 8
+N_PLANES = 5  # bits per LSH table (see N_TABLES below for the L×B tradeoff)
 
 # The brute-force entries are EXACTNESS BASELINES, not scale paths: their
 # plans contain a cartesian product, which is O(n²) pairs. Refuse to run them
@@ -136,15 +136,26 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {N
 """
 
 
-# deterministic pseudo-random hyperplane component p (plane) x i (dim):
-# first 8 md5 hex chars centered on 2^31 — identical in both engines
+# deterministic pseudo-random hyperplane component p (global plane id) x i
+# (dim): first 8 md5 hex chars centered on 2^31 — identical in both engines
 _PLANE = "(cast(conv(substring(md5(concat('{p}', '|', cast(i as string))), 1, 8), 16, 10) as double) - 2147483648.0)"
 
+N_TABLES = 8  # multi-table LSH: L independent tables of N_PLANES bits each.
+# A single B-bit table only surfaces neighbors agreeing on ALL B bits —
+# P[collide] = (1-θ/π)^B, which measured out at recall@5 ≈ 0.03 for one
+# 8-bit table on this corpus. The union of L smaller tables gives
+# 1-(1-(1-θ/π)^B)^L while staying strictly bucketed: candidates are pairs
+# sharing a bucket in ANY table — the same band trick as MinHash-LSH.
+# Measured on the driver corpus (true top-5 sims only 0.25-0.49, i.e.
+# weakly-structured vectors — sign-LSH's worst case): B=5,L=8 → recall@5
+# 0.55 touching ~23% of the corpus per query; sweep in BENCH.md. On corpora
+# with real near-dup structure (sim ≥ 0.9) the same L×B gives ≥ 0.99.
 
-def _bucket_expr() -> str:
+
+def _bucket_expr(t: int) -> str:
     bits = []
     for p in range(N_PLANES):
-        comp = _PLANE.format(p=p)
+        comp = _PLANE.format(p=t * N_PLANES + p)
         dot = (
             f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
             f"(x, i) -> cast(x as double) * {comp}), cast(0 as double), (acc, v) -> acc + v)"
@@ -153,11 +164,12 @@ def _bucket_expr() -> str:
     return " + ".join(bits)
 
 
-def _sql_bucket_expr() -> str:
+def _sql_bucket_expr(t: int) -> str:
     bits = []
     for p in range(N_PLANES):
+        g = t * N_PLANES + p
         comp = (
-            f"(CAST(('0x' || substring(md5('{p}' || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f"(CAST(('0x' || substring(md5('{g}' || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
             " - 2147483648.0)"
         )
         dot = (
@@ -169,41 +181,68 @@ def _sql_bucket_expr() -> str:
 
 
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(table(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", F.expr(_bucket_expr()).cast("int")
+    """Sign-LSH ANN, multi-table: candidates share a bucket in any of
+    N_TABLES hash tables; exact cosine + top-k run on candidates only. At
+    10^10 vectors the candidate join shuffles on (table, bucket) — L·n rows,
+    never all pairs — and the verify joins shuffle on vec_id."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(_bucket_expr(t)).cast("int").alias("bkt"),
+            )
+            for t in range(N_TABLES)
+        ]
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"), "bucket",
+    b = e.select("vec_id", F.explode(tb).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt")
     )
+    cand = (
+        b.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "t", "bkt")
+        .join(b.select(F.col("vec_id").alias("neighbor_id"), "t", "bkt"), ["t", "bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+                 F.col("nrm").alias("qn"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
-                 F.col("nrm").alias("cn"), "bucket")
+                 F.col("nrm").alias("cn"))
     sim = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
-        q.join(c, "bucket")  # shuffle on the 8-bit bucket key, not a crossjoin
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
         .withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "bucket", "neighbor_id", "rank", "sim")
+        .select("query_id", "neighbor_id", "rank", "sim")
     )
 
 
+_SQL_TABLE_BUCKETS = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS t, CAST({_sql_bucket_expr(t)} AS INT) AS bkt FROM embeddings"
+    for t in range(N_TABLES)
+)
+
 SQL_EMBED_LSH_ANN = f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding,
-         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
-         CAST({_sql_bucket_expr()} AS INT) AS bucket
-  FROM embeddings
+WITH {_SQL_NORMED},
+buckets AS ({_SQL_TABLE_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
 ),
 pairs AS (
-  SELECT q.vec_id AS query_id, q.bucket AS bucket, c.vec_id AS neighbor_id,
+  SELECT cand.query_id, cand.neighbor_id,
          round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
-  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  FROM cand
+  JOIN normed q ON q.vec_id = cand.query_id
+  JOIN normed c ON c.vec_id = cand.neighbor_id
 )
-SELECT query_id, bucket, neighbor_id, rank, sim FROM (
+SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs
@@ -211,34 +250,65 @@ SELECT query_id, bucket, neighbor_id, rank, sim FROM (
 """
 
 
-N_CENTROIDS = 8  # deterministic coarse quantizer: the first N vectors
+N_CENTROIDS = 8  # coarse-quantizer cells
+NPROBE = 2       # cells searched per query (recall/cost knob)
+_QSCALE = 1024   # fixed-point scale for the exact-integer centroid update
 
 
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: assign every vector to its nearest of N_CENTROIDS coarse
-    centroids (the first N vectors — deterministic, no trained k-means), then
-    search only within the query's cell. At 10^10 vectors the cell assignment
-    is one broadcast join + argmax and the search shuffles on cell id."""
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    """IVF-flat ANN with a TRAINED coarse quantizer and nprobe cells/query.
+
+    One deterministic k-means refinement: seed cells = nearest of the first
+    N_CENTROIDS vectors; each refined centroid is the per-component SUM of its
+    members' fixed-point-quantized components (floor(x·1024) as int64).
+    Integer sums are associative-exact, so the trained centroids are
+    bit-identical regardless of partition/reduction order — the property a
+    float mean can't give on a 1000-executor cluster — and cosine against a
+    sum equals cosine against the mean (the member count cancels in the
+    normalization). Queries probe their NPROBE nearest cells; candidates live
+    in their single nearest cell. At 10^10 vectors both assignment passes are
+    broadcast-nested-loop joins against 8 centroids (O(n·k) dot products, no
+    shuffle) and the search shuffles on cell id only.
+    """
+    e = _with_norm(table(spark, sf_dir, "embeddings")).withColumn(
+        "qarr", F.expr(f"transform(embedding, x -> cast(floor(cast(x as double) * {_QSCALE}) as bigint))")
+    )
+    cents0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim_c = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
+    sim_c0 = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), "cent_id")
-    assigned = (
+    assigned0 = (
+        e.crossJoin(F.broadcast(cents0))
+        .withColumn("_cs", sim_c0)
+        .withColumn("_cr", F.row_number().over(w_assign))
+        .filter(F.col("_cr") == 1)
+        .select("vec_id", "embedding", "nrm", "qarr", F.col("cent_id").alias("cell0"))
+    )
+    # trained centroids: exact int64 component sums (posexplode → partial-
+    # aggregated sum → rebuild the array in component order)
+    cents = (
+        assigned0.select("cell0", F.posexplode("qarr").alias("pos", "q"))
+        .groupBy("cell0", "pos")
+        .agg(F.sum("q").alias("s"))
+        .groupBy(F.col("cell0").alias("cent_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("_ps"))
+        .select("cent_id", F.expr("transform(_ps, p -> p.s)").alias("cv"))
+        .withColumn("cn", F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))))
+    )
+    sim_c = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
+    ranked = (
         e.crossJoin(F.broadcast(cents))
         .withColumn("_cs", sim_c)
         .withColumn("_cr", F.row_number().over(w_assign))
-        .filter(F.col("_cr") == 1)
-        .select("vec_id", "embedding", "nrm", F.col("cent_id").alias("cell"))
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    q = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("_cr") <= NPROBE)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"), "cell",
+        F.col("nrm").alias("qn"), F.col("cent_id").alias("cell"),
     )
-    c = assigned.select(
+    c = ranked.filter(F.col("_cr") == 1).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv2"),
-        F.col("nrm").alias("cn2"), "cell",
+        F.col("nrm").alias("cn2"), F.col("cent_id").alias("cell"),
     )
     sim = F.round(F.expr(_DOT.format(a="qv", b="cv2")) / (F.col("qn") * F.col("cn2")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -248,31 +318,67 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "cell", "neighbor_id", "rank", "sim")
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+_SQL_QARR = (
+    f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * {_QSCALE}) AS BIGINT) "
+    f"FOR i IN generate_series(1, {DIM})]"
+)
+
+
+def _sql_dot_big(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, {DIM})])"
     )
 
 
 SQL_EMBED_IVF_ANN = f"""
-WITH {_SQL_NORMED},
-cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
-          FROM normed WHERE vec_id < {N_CENTROIDS}),
-assigned AS (
-  SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
-    SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+WITH normed AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+         {_SQL_QARR} AS qarr
+  FROM embeddings
+),
+cents0 AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+           FROM normed WHERE vec_id < {N_CENTROIDS}),
+assigned0 AS (
+  SELECT vec_id, qarr, cent_id AS cell0 FROM (
+    SELECT n.vec_id, n.qarr, c.cent_id,
            row_number() OVER (
              PARTITION BY n.vec_id
              ORDER BY round({_sql_dot('n.embedding', 'c.cv')} / (n.nrm * c.cn), 6) DESC,
                       c.cent_id) AS _cr
-    FROM normed n CROSS JOIN cents c
+    FROM normed n CROSS JOIN cents0 c
   ) WHERE _cr = 1
 ),
+csum AS (
+  SELECT cell0 AS cent_id, i, SUM(qarr[i]) AS s
+  FROM assigned0, (SELECT unnest(generate_series(1, {DIM})) AS i)
+  GROUP BY cell0, i
+),
+cents_raw AS (
+  SELECT cent_id, list(s ORDER BY i) AS cv FROM csum GROUP BY cent_id
+),
+cents AS (
+  SELECT cent_id, cv, sqrt({_sql_dot_big('cv', 'cv')}) AS cn FROM cents_raw
+),
+ranked AS (
+  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell,
+         row_number() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY round({_sql_dot_big('n.embedding', 'c.cv')} / (n.nrm * c.cn), 6) DESC,
+                    c.cent_id) AS _cr
+  FROM normed n CROSS JOIN cents c
+),
 pairs AS (
-  SELECT q.vec_id AS query_id, q.cell AS cell, c.vec_id AS neighbor_id,
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
-  FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.vec_id != c.vec_id
-  WHERE q.vec_id < {N_QUERIES}
+  FROM ranked q JOIN ranked c ON q.cell = c.cell AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES} AND q._cr <= {NPROBE} AND c._cr = 1
 )
-SELECT query_id, cell, neighbor_id, rank, sim FROM (
+SELECT query_id, neighbor_id, rank, sim FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs
