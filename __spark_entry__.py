@@ -6,8 +6,11 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 plus the
   training-data-pipeline operators (dedup / similarity / text / multimodal)
   and the crawl engine itself.
-- ``oracle_sql()``: DuckDB oracles for every SQL-expressible entry; the
-  iterative engine and binary-payload ops are rows-only by design.
+- ``oracle_sql()``: DuckDB oracles for every entry except the iterative
+  crawl engine (`crawl_bfs`, golden-tested against the pure-Python
+  simulator instead). The binary-payload (multimodal) ops are oracle-paired
+  too: their deterministic codecs let the expected per-payload metrics be
+  precomputed driver-side and inlined as VALUES tables.
 """
 
 from __future__ import annotations

@@ -26,7 +26,16 @@ AUDITS = {
     "frontier_schedule": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "links_per_page": ([], ["Exchange hashpartitioning"]),  # partial agg + AQE only shuffle once; checked loosely below
     "dedup_minhash_lsh": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    "dedup_ngram_jaccard": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "embed_lsh_ann": ([], ["CartesianProduct", "BatchEvalPython"]),
+    # the 8-row trained-centroid side is broadcast; assignment is a broadcast
+    # nested loop (fine: O(n·k)), never a shuffled cartesian
+    "embed_ivf_ann": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # two-phase rank: the only Window left is per-_pid-partitioned (the plan
+    # never moves all rows to one task); no Python anywhere
+    "admission_cap": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    # grand total via broadcast cross join of a 1-row agg — no Window at all
+    "status_breakdown": (["BroadcastNestedLoopJoin"], ["Window", "BatchEvalPython"]),
     "text_quality": ([], ["BatchEvalPython", "ArrowEvalPython"]),
 }
 

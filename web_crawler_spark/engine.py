@@ -96,7 +96,12 @@ STAGE_SCHEMA = T.StructType(
 # below this many fresh candidates, a single-partition window rank is cheaper
 # than the two-phase range rank (3 jobs → 1); well within one executor's memory
 SMALL_RANK_THRESHOLD = 65_536
-ROWS_PER_PARTITION = 2_048
+# fetch-stage task sizing: the fetch+parse stage is the Python-heavy one, so
+# a round should fan out to all cores well before it reaches P_max·this many
+# rows. 2048 starved the widest rounds of a 20k-URL crawl down to ~6 of 32
+# cores (WCS_TRACE round trace); 512 keeps tasks big enough to amortize task
+# launch while saturating the executor at realistic round widths.
+ROWS_PER_PARTITION = 512
 
 
 @dataclass
@@ -362,7 +367,13 @@ def crawl(
             pending = adm.filter(F.col("seq") >= lo)
         else:
             pending = _apply_host_watermarks(spark, adm, host_wm)
-        P = min(P_max, max(1, pending_count // ROWS_PER_PARTITION + 1))
+        # size the fetch stage on what will actually be SCHEDULED this round,
+        # not the whole pending frontier (with a small budget the two differ
+        # by orders of magnitude)
+        est = pending_count
+        if budget is not None and politeness_mode == "global":
+            est = min(pending_count, budget)
+        P = min(P_max, max(1, (est + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION))
 
         # ---- politeness selection (FIFO chunk or per-host quota) ----------
         if budget is None:
