@@ -102,6 +102,11 @@ def main() -> None:
     spark.catalog.clearCache()
     crawl = run_crawl(spark, n_crawl)
     total = round(sum(times.values()) + crawl["sec"], 3)
+    # same-window single-core CPU canary (scripts/canary.py): this sandbox's
+    # effective core speed drifts ±60% with neighbor load, so absolute times
+    # are only comparable between runs with similar canary values
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from canary import canary_sec
     print(json.dumps({
         "metric": "headline suite wall time (queries + crawl leg)",
         "value": total,
@@ -109,6 +114,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "crawl": crawl,
+        "canary_sec": canary_sec(),
     }))
 
 

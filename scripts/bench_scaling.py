@@ -81,6 +81,8 @@ def run_level(cpus: int, urls: int, budget: int | None) -> dict:
     # JVM's GC/IO/shuffle helper threads would spill onto the other cores and
     # flatter the small configuration, understating scaling efficiency
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    from canary import canary_sec
+    c0 = canary_sec()
     s0, t0 = _cpu_snap(cpus)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     s1, t1 = _cpu_snap(cpus)
@@ -93,6 +95,7 @@ def run_level(cpus: int, urls: int, budget: int | None) -> dict:
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             r["steal_pct"] = steal_pct
+            r["canary_sec"] = c0  # same-window single-core speed (see canary.py)
             return r
     raise RuntimeError(f"local[{cpus}] run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 

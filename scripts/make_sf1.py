@@ -84,24 +84,35 @@ def replicate(spark, table: str, replicas: int, out_dir: str) -> int:
             ).otherwise(cases)
         df = df.withColumn("text", cases)
     elif table == "embeddings":
-        # per-replica, per-component scaling; interpreted HOF is fine for a
-        # one-time 20k-row generation step
+        # additive deterministic noise comparable to the component magnitudes
+        # (~0.15), so replica directions are effectively independent — a mild
+        # multiplicative scale would leave all 10 replicas ~0.999-cosine
+        # coincident and the ANN corpus would behave like sf0.1 with 10-way
+        # duplicated points, not a 10x corpus. r=0 stays the identity.
+        # Interpreted HOF is fine for a one-time 20k-row generation step.
         rd = F.col("_r").cast("double")
+        amp = F.when(F.col("_r") == 0, F.lit(0.0)).otherwise(F.lit(0.15))
+        # phase keyed on (vec_id, replica): distinct quasi-random noise per
+        # source vector, else every replica would collapse toward one shared
+        # offset direction
+        phase = F.col("vec_id").cast("double") * F.lit(0.6180339887) + rd * F.lit(7919.0)
         df = df.withColumn(
             "embedding",
             F.transform(
                 F.col("embedding"),
                 lambda x, i: (
                     x.cast("double")
-                    * (
-                        F.lit(1.0)
-                        + rd * ((i % 5).cast("double") - F.lit(2.0)) / F.lit(200.0)
-                    )
+                    + amp * F.sin((i.cast("double") + F.lit(1.0)) * phase)
                 ).cast("float"),
             ),
         )
 
     df = df.drop("_r")
+    # realistic multi-file layout: the replicated tables otherwise inherit
+    # sf0.1's single-file layout through the broadcast crossJoin and every
+    # downstream scan gets 1-3 tasks (a real sf1 export has many files /
+    # row groups, which is what gives the scan its parallelism)
+    df = df.repartition(32, *[F.col(c) for c in [df.columns[0]]])
     df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
     return df.count()
 

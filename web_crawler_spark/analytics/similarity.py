@@ -6,12 +6,12 @@
                      (the scale path: at 10^10 vectors the crossjoin dies;
                      bucket join shuffles on an 8-bit key instead)
 
-Numeric discipline: dot products are computed as an explicit sequential
-left-fold over index order in BOTH engines (zip_with+aggregate in Spark, an
-indexed list comprehension + list_sum in DuckDB) so the floating sum is
-order-identical; similarities are rounded to 6 dp before ranking/thresholding
-and ranks are tie-broken by vec_id, making the output integer-exact.
-All JVM-side expressions — no Python UDFs.
+Numeric discipline: dot products are computed as an explicit left-to-right
+sum over index order in BOTH engines (a flat codegen term chain in Spark —
+see `_flat_dot` — and an indexed list comprehension + list_sum in DuckDB) so
+the floating sum is order-identical; similarities are rounded to 6 dp before
+ranking/thresholding and ranks are tie-broken by vec_id, making the output
+integer-exact. All JVM-side expressions — no Python UDFs.
 """
 
 from __future__ import annotations
@@ -44,10 +44,19 @@ def _guard_brute_force(df: DataFrame, query: str, cap: int = BRUTE_FORCE_CAP) ->
             "corpus-scale similarity search"
         )
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
-    "cast(0 as double), (acc, v) -> acc + v)"
-)
+def _flat_dot(a: str, b: str):
+    """Whole-stage-codegen dot product: an explicit left-to-right sum of
+    a[i]*b[i] terms. Bit-identical to an interpreted aggregate/zip_with fold
+    (0 + v1 == v1, then the same partial-sum sequence) and to the DuckDB
+    oracle's indexed-comprehension list_sum — but ~20-30x faster, because
+    Spark evaluates higher-order array functions interpreted, one closure call
+    per element (the simhash flattening found the same cliff). At 10^10 rows
+    this is the difference between a codegen pipeline and a Python-speed
+    fold."""
+    acc = F.col(a)[0].cast("double") * F.col(b)[0].cast("double")
+    for i in range(1, DIM):
+        acc = acc + F.col(a)[i].cast("double") * F.col(b)[i].cast("double")
+    return acc
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -58,7 +67,7 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn("nrm", F.sqrt(F.expr(_DOT.format(a=vec, b=vec))))
+    return df.withColumn("nrm", F.sqrt(_flat_dot(vec, vec)))
 
 
 _SQL_NORMED = f"""
@@ -77,7 +86,7 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
-    sim = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(_flat_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         q.crossJoin(c)
@@ -113,7 +122,7 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("nrm").alias("na"), F.col("label").alias("label_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
                  F.col("nrm").alias("nb"), F.col("label").alias("label_b"))
-    sim = F.round(F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")), 6)
+    sim = F.round(_flat_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -136,9 +145,17 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {N
 """
 
 
-# deterministic pseudo-random hyperplane component p (global plane id) x i
-# (dim): first 8 md5 hex chars centered on 2^31 — identical in both engines
-_PLANE = "(cast(conv(substring(md5(concat('{p}', '|', cast(i as string))), 1, 8), 16, 10) as double) - 2147483648.0)"
+# deterministic pseudo-random hyperplane component, plane g (global id) x i
+# (1-based dim): first 8 md5 hex chars centered on 2^31. Computed driver-side
+# (hashlib) into plain literals: the previous formulation evaluated this md5
+# INSIDE the per-row expression — n_vectors x n_planes x DIM md5 calls plus an
+# interpreted fold (51M md5s at 20k vectors); as literals the signature stage
+# is a flat codegen projection. int(hex,16) < 2^32 is exact in a double, so
+# the literal equals Spark's conv()-cast and DuckDB's CAST('0x'||..) exactly.
+def _plane_const(g: int, i: int) -> float:
+    import hashlib
+
+    return float(int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:8], 16) - 2147483648)
 
 N_TABLES = 8  # multi-table LSH: L independent tables of N_PLANES bits each.
 # A single B-bit table only surfaces neighbors agreeing on ALL B bits —
@@ -152,16 +169,50 @@ N_TABLES = 8  # multi-table LSH: L independent tables of N_PLANES bits each.
 # with real near-dup structure (sim ≥ 0.9) the same L×B gives ≥ 0.99.
 
 
-def _bucket_expr(t: int) -> str:
-    bits = []
-    for p in range(N_PLANES):
-        comp = _PLANE.format(p=t * N_PLANES + p)
-        dot = (
-            f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
-            f"(x, i) -> cast(x as double) * {comp}), cast(0 as double), (acc, v) -> acc + v)"
+def _signature_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """(vec_id, t, bkt) bucket assignments for all N_TABLES LSH tables.
+
+    Computed as posexplode(embedding) ⋈ broadcast(plane-constant table) →
+    partial-aggregated per-(vec, plane) sums → sign-bit packing per table.
+    Every operator is a small codegen expression: the two earlier attempts —
+    a per-row expression with md5() evaluated per component (n·planes·DIM md5
+    calls in an interpreted fold), and a flat 64-term-per-plane literal chain
+    (N_TABLES·N_PLANES·DIM ≈ 2560 terms in one projection, which overflows
+    Janino's 64 KB method limit and drops the whole stage to interpreted
+    eval) — were both orders of magnitude slower. The join emits each
+    position's 40 plane matches as the positions stream in order, so each
+    (vec, plane) partial sum accumulates in position order — the same
+    left-to-right fold as the DuckDB oracle. (Caveat: that ordering relies on
+    hash-agg in-stream accumulation; a sort-based agg spill could reorder a
+    sum, which would only perturb a SIGNATURE bit near a zero dot — candidate
+    quality, never result exactness, since the rerank recomputes exact
+    cosine.) At 10^10 vectors both shuffles carry n·planes pre-aggregated
+    rows — linear, uniform keys."""
+    consts = spark.createDataFrame(
+        [
+            (i, g, _plane_const(g, i + 1))
+            for g in range(N_TABLES * N_PLANES)
+            for i in range(DIM)
+        ],
+        "pos int, g int, c double",
+    )
+    comp = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    dots = (
+        comp.join(F.broadcast(consts), "pos")
+        .groupBy("vec_id", "g")
+        .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+    )
+    return (
+        dots.select(
+            "vec_id",
+            (F.col("g") / N_PLANES).cast("int").alias("t"),
+            F.expr(
+                f"CASE WHEN dot > 0 THEN shiftleft(1, g % {N_PLANES}) ELSE 0 END"
+            ).alias("bit"),
         )
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(bits)
+        .groupBy("vec_id", "t")
+        .agg(F.sum("bit").cast("int").alias("bkt"))
+    )
 
 
 def _sql_bucket_expr(t: int) -> str:
@@ -186,18 +237,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^10 vectors the candidate join shuffles on (table, bucket) — L·n rows,
     never all pairs — and the verify joins shuffle on vec_id."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
-    tb = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                F.expr(_bucket_expr(t)).cast("int").alias("bkt"),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
-    b = e.select("vec_id", F.explode(tb).alias("tb")).select(
-        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt")
-    )
+    b = _signature_buckets(spark, table(spark, sf_dir, "embeddings"))
     cand = (
         b.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "t", "bkt")
@@ -210,7 +250,7 @@ def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("nrm").alias("qn"))
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
                  F.col("nrm").alias("cn"))
-    sim = F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 6)
+    sim = F.round(_flat_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         cand.join(q, "query_id")
@@ -276,7 +316,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
     )
-    sim_c0 = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
+    sim_c0 = F.round(_flat_dot("embedding", "cv") / (F.col("nrm") * F.col("cn")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), "cent_id")
     assigned0 = (
         e.crossJoin(F.broadcast(cents0))
@@ -294,9 +334,9 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cell0").alias("cent_id"))
         .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("_ps"))
         .select("cent_id", F.expr("transform(_ps, p -> p.s)").alias("cv"))
-        .withColumn("cn", F.sqrt(F.expr(_DOT.format(a="cv", b="cv"))))
+        .withColumn("cn", F.sqrt(_flat_dot("cv", "cv")))
     )
-    sim_c = F.round(F.expr(_DOT.format(a="embedding", b="cv")) / (F.col("nrm") * F.col("cn")), 6)
+    sim_c = F.round(_flat_dot("embedding", "cv") / (F.col("nrm") * F.col("cn")), 6)
     ranked = (
         e.crossJoin(F.broadcast(cents))
         .withColumn("_cs", sim_c)
@@ -310,7 +350,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv2"),
         F.col("nrm").alias("cn2"), F.col("cent_id").alias("cell"),
     )
-    sim = F.round(F.expr(_DOT.format(a="qv", b="cv2")) / (F.col("qn") * F.col("cn2")), 6)
+    sim = F.round(_flat_dot("qv", "cv2") / (F.col("qn") * F.col("cn2")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         q.join(c, "cell")
