@@ -90,3 +90,83 @@ def test_audio_features_deterministic():
     assert f1 == f2
     assert f1["duration_s"] == len(dec) / sr
     assert 0 <= f1["n_clipped"] <= len(dec)
+
+
+# ---------------------------------------------------------------------------
+# video codec (WCSV): frame sampling decodes ONLY the sampled frames
+# ---------------------------------------------------------------------------
+
+
+def test_videocodec_roundtrip_and_sampling():
+    import numpy as np
+
+    from web_crawler_spark.core import videocodec
+
+    r = videocodec.video_row("vid-x", seed=42)
+    fmt, fps, n_frames, w, h = videocodec.read_header(r["bytes"])
+    assert (fmt, fps, n_frames, w, h) == (r["fmt"], r["fps"], r["n_frames"], r["w"], r["h"])
+    idx = videocodec.sample_indices(n_frames)
+    assert idx == sorted(set(idx)) and all(0 <= i < n_frames for i in idx)
+    frames = videocodec.decode_frames(r["bytes"], idx)
+    assert set(frames) == set(idx)
+    for i in idx:
+        ref = videocodec.frame_pixels("vid-x", i, w, h)
+        if fmt in videocodec.LOSSY_FMTS:
+            from web_crawler_spark.core import imagecodec
+
+            assert imagecodec.psnr(frames[i], ref) >= 40.0
+        else:
+            assert np.array_equal(frames[i], ref)
+    assert videocodec.frames_ok("vid-x", r["bytes"])
+
+
+def test_videocodec_sampling_skips_unsampled_payloads():
+    """Corrupt an UNSAMPLED frame's pixel payload: the length-prefix walk must
+    still decode the sampled set (proof the extractor seeks, not decodes)."""
+    import struct
+
+    import pytest
+
+    from web_crawler_spark.core import videocodec
+
+    vid = "vid-skip"
+    data = videocodec.encode(vid, 16, 16, 10, 9, "png")
+    idx = videocodec.sample_indices(9)
+    victim = next(i for i in range(9) if i not in idx)
+    # walk to the victim frame's payload and flip bytes INSIDE it (past the
+    # 13-byte WCSI frame header, so only pixel data changes)
+    off = videocodec._HDR_LEN
+    for i in range(9):
+        (blen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        if i == victim:
+            corrupted = (
+                data[: off + 13] + bytes(b ^ 0xFF for b in data[off + 13 : off + blen]) + data[off + blen :]
+            )
+            break
+        off += blen
+    frames = videocodec.decode_frames(corrupted, idx)
+    assert set(frames) == set(idx)  # sampled set decodes despite the corruption
+    assert videocodec.frames_ok(vid, corrupted)  # invariant only covers samples
+    # but decoding the victim itself must fail the pixel invariant
+    assert not all(
+        (videocodec.decode_frames(corrupted, [victim])[victim] == videocodec.frame_pixels(vid, victim, 16, 16)).all()
+        for _ in [0]
+    )
+    with pytest.raises(ValueError):
+        videocodec.decode_frames(data, [99])  # out-of-range index
+    with pytest.raises(ValueError):
+        videocodec.decode_frames(data[:-5], list(range(9)))  # truncated tail
+
+
+def test_video_features_deterministic():
+    from web_crawler_spark.core import videocodec
+
+    r1 = videocodec.video_row("vid-7", seed=42)
+    r2 = videocodec.video_row("vid-7", seed=42)
+    assert r1 == r2
+    f1 = videocodec.features("vid-7", r1["bytes"])
+    f2 = videocodec.features("vid-7", r2["bytes"])
+    assert f1 == f2
+    assert f1["duration_s"] == r1["n_frames"] / r1["fps"]
+    assert f1["n_sampled"] <= videocodec.N_SAMPLE

@@ -37,9 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core import audiocodec, imagecodec
+from ..core import audiocodec, imagecodec, videocodec
 from ..functions import udfs
-from ..schemas import AUDIO_SCHEMA, IMAGES_SCHEMA
+from ..schemas import AUDIO_SCHEMA, IMAGES_SCHEMA, VIDEO_SCHEMA
 from .common import table
 
 N_IMAGES = 200  # images synthesized per run (first N doc_ids)
@@ -232,6 +232,93 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+N_VIDEO = 100  # clips synthesized per run (first N doc_ids); ~25k frames total
+
+
+def _videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video table keyed on doc_id (WCSV multi-frame clips)."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_VIDEO)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [videocodec.video_row(f"vid-{doc_id}", seed=42) for doc_id in pdf["doc_id"]]
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return ids.repartition(8, "doc_id").mapInPandas(gen, VIDEO_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_sampled", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("frames_ok", T.BooleanType(), False),  # sampled frames vs ref
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+        T.StructField("motion", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_video(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: frame-SAMPLE each clip (decode only N_SAMPLE evenly-spaced
+    frames via the container's length-prefix index — never the full clip),
+    then per-clip invariant flags + sampled-frame features."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            rec = dict(video_id=r.video_id, fmt=None, fps=None, n_frames=None,
+                       n_sampled=None, decode_ok=False, frames_ok=False,
+                       duration_s=None, brightness=None, motion=None)
+            try:
+                data = bytes(r.bytes)
+                f = videocodec.features(r.video_id, data)
+                rec.update(
+                    fmt=f["fmt"], fps=f["fps"], n_frames=f["n_frames"],
+                    n_sampled=f["n_sampled"],
+                    decode_ok=bool(
+                        f["fmt"] == r.fmt and f["fps"] == r.fps
+                        and f["n_frames"] == r.n_frames
+                        and f["w"] == r.w and f["h"] == r.h
+                    ),
+                    frames_ok=videocodec.frames_ok(r.video_id, data),
+                    duration_s=f["duration_s"], brightness=f["brightness"],
+                    motion=f["motion"],
+                )
+            except (ValueError, NotImplementedError):
+                pass  # corrupt/unsupported -> nulls, counted downstream
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields])
+
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format video frame-sampling rollup. Aggregates are
+    order-independent (counts, int sums, min/max) — no double SUMs."""
+    feats = _videos(spark, sf_dir).mapInPandas(extract_video, VIDEO_FEATURES_SCHEMA)
+    return (
+        feats.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_videos"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("decode_pass"),
+            F.sum(F.when(F.col("frames_ok"), 1).otherwise(0)).alias("frames_pass"),
+            F.sum(F.col("n_frames").cast("bigint")).alias("total_frames"),
+            F.sum(F.col("n_sampled").cast("bigint")).alias("total_sampled"),
+            F.min("fps").alias("min_fps"),
+            F.max("fps").alias("max_fps"),
+            F.min("duration_s").alias("min_duration_s"),
+            F.max("duration_s").alias("max_duration_s"),
+            F.max("brightness").alias("max_brightness"),
+            F.max("motion").alias("max_motion"),
+        )
+        .orderBy("fmt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles: driver-side expected metrics inlined as VALUES tables
 # ---------------------------------------------------------------------------
 
@@ -299,6 +386,25 @@ def _expected_audio_metrics() -> list[tuple]:
     return out
 
 
+def _expected_video_metrics() -> list[tuple]:
+    out = []
+    for i in range(N_VIDEO):
+        vid = f"vid-{i}"
+        r = videocodec.video_row(vid, seed=42)
+        f = videocodec.features(vid, r["bytes"])
+        out.append((
+            vid, f["fmt"], f["fps"], f["n_frames"], f["n_sampled"],
+            int(
+                f["fmt"] == r["fmt"] and f["fps"] == r["fps"]
+                and f["n_frames"] == r["n_frames"]
+                and f["w"] == r["w"] and f["h"] == r["h"]
+            ),
+            int(videocodec.frames_ok(vid, r["bytes"])),
+            f["duration_s"], f["brightness"], f["motion"],
+        ))
+    return out
+
+
 def _img_sel(n: int) -> str:
     return (
         f"sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id\n"
@@ -355,14 +461,38 @@ GROUP BY fmt ORDER BY fmt
 """
 
 
+SQL_MULTIMODAL_VIDEO = f"""
+WITH expected(video_id, fmt, fps, n_frames, n_sampled, decode_ok, frames_ok,
+              duration_s, brightness, motion) AS (
+  VALUES {_values(_expected_video_metrics())}
+),
+sel AS (SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS video_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_VIDEO}))
+SELECT fmt, count(*) AS n_videos,
+       CAST(sum(decode_ok) AS BIGINT) AS decode_pass,
+       CAST(sum(frames_ok) AS BIGINT) AS frames_pass,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(n_sampled) AS BIGINT) AS total_sampled,
+       min(fps) AS min_fps, max(fps) AS max_fps,
+       min(duration_s) AS min_duration_s,
+       max(duration_s) AS max_duration_s,
+       max(brightness) AS max_brightness,
+       max(motion) AS max_motion
+FROM sel JOIN expected USING (video_id)
+GROUP BY fmt ORDER BY fmt
+"""
+
+
 QUERIES = {
     "multimodal_validate": multimodal_validate,
     "multimodal_features": multimodal_features,
     "multimodal_audio": multimodal_audio,
+    "multimodal_video": multimodal_video,
 }
 
 ORACLES = {
     "multimodal_validate": SQL_MULTIMODAL_VALIDATE,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_video": SQL_MULTIMODAL_VIDEO,
 }
