@@ -182,11 +182,111 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus retention: the keep/drop decision stage a training-data pipeline
+# runs before tokenization — composes the near-dup fingerprint, length gate
+# and quality score into one verdict per document with a reason.
+# ---------------------------------------------------------------------------
+
+MIN_WORDS = 15     # drop docs shorter than this many whitespace tokens
+QUALITY_T = 0.05   # drop docs scoring below this on the quality heuristic
+# drop-reason precedence: a near-duplicate is dropped as such even if it is
+# also short/low-quality (dedup runs first in a real pipeline)
+
+
+def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop verdict. Plan at scale: one projection computes
+    every signal (words/quality/fingerprint), then ONE shuffle pair on the
+    high-cardinality fingerprint key (map-side-partial min groupBy + join
+    back); no windows, no skew (fingerprints are hash-valued)."""
+    d = table(spark, sf_dir, "documents")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    base = (
+        d.withColumn("hs", F.expr(_WHASH))
+        .withColumn("wh", F.expr(_WINDOWS))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_min("wh").alias("fingerprint"),
+            F.expr(f"size({_WORDS})").alias("n_words"),
+            F.length("text").alias("n_chars"),
+            F.expr("regexp_count(text, '[.,;:!?]')").alias("n_punct"),
+            F.expr("regexp_count(text, '[A-Z]')").alias("n_upper"),
+            F.expr(f"size(filter({_WORDS}, w -> array_contains(array({en}), w)))").alias("n_stop"),
+        )
+        .withColumn(
+            "quality",
+            (F.col("n_stop").cast("double") / F.col("n_words") * 2.0
+             + F.col("n_punct").cast("double") / F.col("n_chars"))
+            - F.col("n_upper").cast("double") / F.col("n_chars") * 0.5,
+        )
+    )
+    keepers = base.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper_id"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("near_duplicate"))
+        .when(F.col("n_words") < MIN_WORDS, F.lit("too_short"))
+        .when(F.col("quality") < QUALITY_T, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(keepers, "fingerprint")
+        .withColumn("drop_reason", reason)
+        .select(
+            "doc_id", "lang", "fingerprint", "keeper_id", "n_words", "quality",
+            (F.col("drop_reason") == "kept").alias("keep"), "drop_reason",
+        )
+    )
+
+
+SQL_CORPUS_RETENTION = f"""
+WITH base AS (
+  SELECT doc_id, lang, list_min(wh) AS fingerprint, n_words, n_chars,
+         n_punct, n_upper, n_stop,
+         (CAST(n_stop AS DOUBLE) / n_words * 2.0
+          + CAST(n_punct AS DOUBLE) / n_chars)
+          - CAST(n_upper AS DOUBLE) / n_chars * 0.5 AS quality
+  FROM (
+    SELECT doc_id, lang,
+           CASE WHEN len(hs) >= 3 THEN
+             [(hs[i] * 31 + hs[i + 1] * 17 + hs[i + 2]) % 1000003
+              FOR i IN generate_series(1, len(hs) - 2)]
+           ELSE [CAST(0 AS BIGINT)] END AS wh,
+           len({SQL_WORDS}) AS n_words,
+           length(text) AS n_chars,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+           {_sql_hits('en')} AS n_stop
+    FROM (
+      SELECT doc_id, lang, text,
+             [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
+              FOR w IN {SQL_WORDS}] AS hs
+      FROM documents
+    )
+  )
+),
+keepers AS (
+  SELECT fingerprint, min(doc_id) AS keeper_id FROM base GROUP BY fingerprint
+),
+verdict AS (
+  SELECT b.doc_id, b.lang, b.fingerprint, k.keeper_id, b.n_words, b.quality,
+         CASE WHEN b.doc_id != k.keeper_id THEN 'near_duplicate'
+              WHEN b.n_words < {MIN_WORDS} THEN 'too_short'
+              WHEN b.quality < {QUALITY_T} THEN 'low_quality'
+              ELSE 'kept' END AS drop_reason
+  FROM base b JOIN keepers k USING (fingerprint)
+)
+SELECT doc_id, lang, fingerprint, keeper_id, n_words, quality,
+       (drop_reason = 'kept') AS keep, drop_reason
+FROM verdict
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "corpus_retention": corpus_retention,
 }
 
 ORACLES = {
@@ -194,4 +294,5 @@ ORACLES = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "corpus_retention": SQL_CORPUS_RETENTION,
 }
