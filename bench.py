@@ -41,6 +41,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_lsh_ann",
     "multimodal_features",
+    "image_phash_neardup",
 ]
 
 

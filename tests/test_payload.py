@@ -170,3 +170,39 @@ def test_video_features_deterministic():
     assert f1 == f2
     assert f1["duration_s"] == r1["n_frames"] / r1["fps"]
     assert f1["n_sampled"] <= videocodec.N_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# image phash near-dup: planted variants land within the Hamming threshold
+# ---------------------------------------------------------------------------
+
+
+def test_variant_phash_is_near_duplicate():
+    from web_crawler_spark.core import imagecodec
+
+    for i in (0, 4, 8, 40):
+        base = imagecodec.image_row(f"img-{i}", seed=42)
+        var = imagecodec.variant_row(f"img-{i}", seed=42)
+        assert var["image_id"] == f"img-{i}-v"
+        assert (var["w"], var["h"]) == (base["w"], base["h"])
+        xor = (base["phash"] ^ var["phash"]) & ((1 << 64) - 1)
+        assert bin(xor).count("1") <= 6  # IMG_HAMMING_T
+
+
+def test_image_phash_neardup_finds_planted_pairs(spark):
+    from web_crawler_spark.analytics import multimodal
+
+    rows = multimodal.image_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["img_a"], r["img_b"]): r["hamming"] for r in rows}
+    assert pairs, "no near-dup pairs found"
+    # every result pair is a planted (base, variant) pair at this scale
+    for (a, b), ham in pairs.items():
+        assert b == a + "-v"
+        assert 0 <= ham <= multimodal.IMG_HAMMING_T
+    # and hamming agrees with the pure-python codec
+    from web_crawler_spark.core import imagecodec
+
+    for (a, b), ham in list(pairs.items())[:5]:
+        pa = imagecodec.image_row(a, seed=42)["phash"]
+        pb = imagecodec.variant_row(a, seed=42)["phash"]
+        assert bin((pa ^ pb) & ((1 << 64) - 1)).count("1") == ham

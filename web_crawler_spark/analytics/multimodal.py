@@ -319,6 +319,131 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# image near-dup: bucketed Hamming join over the phash metadata column
+# ---------------------------------------------------------------------------
+
+VARIANT_EVERY = 4  # every 4th base image gets a planted near-duplicate variant
+IMG_HAMMING_T = 6  # max phash Hamming distance for a near-dup pair
+
+
+def _images_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images table plus planted near-duplicate variants (``img-{id}-v`` with
+    perturbed pixels) so phash dedup has genuine near-dup structure to find."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_IMAGES)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                row = imagecodec.image_row(f"img-{doc_id}", seed=42)
+                row["caption"] = f"caption for img-{doc_id}"
+                rows.append(row)
+                if int(doc_id) % VARIANT_EVERY == 0:
+                    v = imagecodec.variant_row(f"img-{doc_id}", seed=42)
+                    v["caption"] = f"caption for img-{doc_id}"
+                    rows.append(v)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return ids.repartition(8, "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by phash Hamming distance, found the way a
+    10^10-image corpus has to: the 64-bit phash METADATA column (computed once
+    at ingest — no decode in this query) is split into 4 16-bit blocks;
+    candidates share at least one block (guaranteed complete for Hamming <= 3,
+    same candidate rule in the oracle so both engines see identical pairs);
+    the exact bit_count(xor) verify runs on candidates only. All flat codegen
+    expressions, one shuffle for the block self-join — the simhash 4-block
+    architecture (dedup.py) applied to the image payload axis."""
+    sig = (
+        _images_with_variants(spark, sf_dir)
+        .select("image_id", "phash")
+        .localCheckpoint(eager=True)  # feeds blocks + both pair sides once
+    )
+    blocks = sig.select(
+        "image_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftrightunsigned("phash", 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("image_id", F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk"))
+    cand = (
+        blocks.select(F.col("image_id").alias("img_a"), "k", "blk")
+        .join(blocks.select(F.col("image_id").alias("img_b"), "k", "blk"), ["k", "blk"])
+        .filter(F.col("img_a") < F.col("img_b"))
+        .select("img_a", "img_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"))
+    sb = sig.select(F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b"))
+    return (
+        cand.join(sa, "img_a")
+        .join(sb, "img_b")
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"))
+        .filter(F.col("hamming") <= IMG_HAMMING_T)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
+def _expected_phashes() -> list[tuple]:
+    """Driver-side (image_id, phash) ground truth for base + variant images."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        out.append((iid, imagecodec.image_row(iid, seed=42)["phash"]))
+        if i % VARIANT_EVERY == 0:
+            v = imagecodec.variant_row(iid, seed=42)
+            out.append((v["image_id"], v["phash"]))
+    return out
+
+
+# 16-bit block k of a signed int64 phash, as logical shift via HUGEINT
+_SQL_U64 = (
+    "(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
+    "THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+)
+
+SQL_IMAGE_PHASH_NEARDUP = f"""
+WITH expected(image_id, phash) AS (
+  VALUES {{values}}
+),
+sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_IMAGES})),
+ids AS (
+  SELECT image_id FROM sel
+  UNION ALL
+  SELECT image_id || '-v' FROM sel WHERE doc_id % {VARIANT_EVERY} = 0
+),
+ph AS (SELECT image_id, phash FROM ids JOIN expected USING (image_id)),
+blk AS (
+  SELECT image_id, k,
+         CAST(({_SQL_U64} // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
+  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b
+  FROM blk a JOIN blk b ON a.k = b.k AND a.blk = b.blk AND a.image_id < b.image_id
+)
+SELECT c.img_a, c.img_b,
+       CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+FROM cand c
+JOIN ph pa ON pa.image_id = c.img_a
+JOIN ph pb ON pb.image_id = c.img_b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= {IMG_HAMMING_T}
+"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles: driver-side expected metrics inlined as VALUES tables
 # ---------------------------------------------------------------------------
 
@@ -488,6 +613,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_audio": multimodal_audio,
     "multimodal_video": multimodal_video,
+    "image_phash_neardup": image_phash_neardup,
 }
 
 ORACLES = {
@@ -495,4 +621,8 @@ ORACLES = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_video": SQL_MULTIMODAL_VIDEO,
+    # values filled here because _values is defined below the SQL template
+    "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP.format(
+        values=_values(_expected_phashes())
+    ),
 }

@@ -96,6 +96,33 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def variant_pixels(image_id: str, w: int, h: int) -> np.ndarray:
+    """Near-duplicate of *image_id*'s reference pixels: every 5th pixel in each
+    axis gets bit 2 flipped (±4 of 255 on 1/25 of pixels). Block means move
+    ~0.16 gray levels, so the 64-bit average-hash stays within a few bits of
+    the original — deterministic planted near-dup structure for phash dedup."""
+    px = reference_pixels(image_id, w, h).copy()
+    px[::5, ::5, :] ^= 4
+    return px
+
+
+def variant_row(image_id: str, seed: int = 42) -> dict:
+    """Images-table row for the planted near-duplicate ``{image_id}-v``:
+    same dimensions as the base, perturbed pixels, lossless encode."""
+    base = image_row(image_id, seed=seed)
+    px = variant_pixels(image_id, base["w"], base["h"])
+    data = encode(px, "png")
+    decoded, _, _, _ = decode(data)
+    return {
+        "image_id": image_id + "-v",
+        "bytes": data,
+        "w": base["w"],
+        "h": base["h"],
+        "fmt": "png",
+        "phash": phash64(decoded),
+    }
+
+
 def image_row(image_id: str, seed: int = 42) -> dict:
     """Deterministic full images-table row for *image_id* (FIXTURES.md §1)."""
     w = 16 + stable_hash64(seed, "iw", image_id) % 49  # 16..64
