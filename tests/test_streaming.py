@@ -42,6 +42,37 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: the watermarked click→purchase
+    attribution join over a static directory must emit exactly the batch
+    inner join with the same interval predicate (append mode; inner-join
+    rows emit as matches arrive, the watermark only bounds state)."""
+    from web_crawler_spark.streaming import stream_join
+
+    src = tmp_path / "events_join"
+    src.mkdir()
+    shutil.copy(SF_EVENTS, src / "part-0.parquet")
+
+    q = stream_rollup.run_to_memory(
+        stream_join.attribution_stream(spark, str(src), watermark="35 days", max_lag="1 hour"),
+        name="attrib_t",
+        mode="append",
+    )
+    try:
+        got = sorted(
+            (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"], r["lag_s"])
+            for r in spark.table("attrib_t").collect()
+        )
+    finally:
+        q.stop()
+
+    want = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"], r["purchase_value"], r["lag_s"])
+        for r in stream_join.attribution_batch(spark, str(src), max_lag="1 hour").collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_stateful_dedup_stream(spark, tmp_path):
     """applyInPandasWithState URL dedup: cross-microbatch state keeps only
     first occurrences, matching a batch first-occurrence dedup exactly."""

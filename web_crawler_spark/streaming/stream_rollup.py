@@ -69,13 +69,14 @@ def progress_stream(spark: SparkSession, outcomes_dir: str, outcomes_schema) -> 
     return oc.groupBy("outcome").agg(F.count("*").alias("cnt"))
 
 
-def run_to_memory(df: DataFrame, name: str, timeout_s: float = 120.0):
-    """Drain a bounded file stream into an in-memory table (complete mode);
-    returns after the source is exhausted. Test/demo harness only."""
+def run_to_memory(df: DataFrame, name: str, timeout_s: float = 120.0, mode: str = "complete"):
+    """Drain a bounded file stream into an in-memory table; returns after the
+    source is exhausted. Test/demo harness only. *mode*: complete for
+    aggregations, append for stream-stream joins / finalized windows."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
