@@ -42,6 +42,44 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_session_stream_matches_batch(spark, tmp_path):
+    """Session-window parity: streaming session_window over a static
+    directory must equal the batch session_window plan. Complete mode —
+    append only emits a session once the watermark passes its end, and a
+    bounded availableNow run stops before that flush; complete outputs the
+    full (open + closed) session state, which is the batch answer."""
+    src = tmp_path / "events_sess"
+    src.mkdir()
+    shutil.copy(SF_EVENTS, src / "part-0.parquet")
+
+    q = stream_rollup.run_to_memory(
+        stream_rollup.session_stream(spark, str(src), gap="10 minutes", watermark="2 hours"),
+        name="sess_t",
+        mode="complete",
+    )
+    try:
+        got = {
+            (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"], r["total_value"])
+            for r in spark.table("sess_t").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(SF_EVENTS)
+        .groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["sw"]["start"]): (r["sw"]["end"], r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stream_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join parity: the watermarked click→purchase
     attribution join over a static directory must emit exactly the batch

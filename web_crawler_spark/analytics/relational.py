@@ -18,6 +18,8 @@ why the plan survives 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -498,6 +500,76 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap) — batch twin of
+    streaming/stream_rollup.session_stream, same ``session_window`` plan over
+    a static read. A session merges consecutive events that each arrive
+    strictly within the gap of the previous one; its end is last event + gap.
+    The DuckDB oracle states the same semantics as gaps-and-islands (lag +
+    running sum of session-break flags)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("sw.end"), TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_SESSION_ROLLUP = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 10 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 'total_value')}
+FROM numbered GROUP BY user_id, sess_id
+"""
+
+
+def attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming attribution join
+    (streaming/stream_join.py): purchases matched to a same-user click
+    within 1 hour — an event-time interval self-join. The streaming form
+    runs the identical predicate with two-sided watermarks so join state
+    stays bounded; here the static read lets Catalyst plan it as a plain
+    shuffled join on user_id with the range predicate as a post-filter."""
+    from ..streaming.stream_join import attribution_batch
+
+    return attribution_batch(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+SQL_ATTRIBUTION_JOIN = """
+SELECT c.user_id, c.click_id, p.purchase_id, p.purchase_value,
+       CAST(floor(epoch(p.purchase_ts)) - floor(epoch(c.click_ts)) AS BIGINT) AS lag_s
+FROM (SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+WHERE p.purchase_ts >= c.click_ts
+  AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+"""
+
+
 # --- F5: the URL-canonicalization pandas UDF (crawler.py:407-427) ----------
 # Hrefs are synthesized deterministically from event ids in six known forms,
 # so the DuckDB oracle can state the expected canonical URL in closed form —
@@ -635,6 +707,8 @@ QUERIES = {
     "ship_priority": ship_priority,
     "region_volume": region_volume,
     "hourly_rollup": hourly_rollup,
+    "session_rollup": session_rollup,
+    "attribution_join": attribution_join,
     "url_canonicalize": url_canonicalize,
     "distinct_users": distinct_users,
     "status_rollup": status_rollup,
@@ -664,4 +738,6 @@ ORACLES = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "region_volume": SQL_REGION_VOLUME,
     "hourly_rollup": SQL_HOURLY_ROLLUP,
+    "session_rollup": SQL_SESSION_ROLLUP,
+    "attribution_join": SQL_ATTRIBUTION_JOIN,
 }

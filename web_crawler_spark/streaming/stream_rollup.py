@@ -62,6 +62,40 @@ def rollup_stream(
     )
 
 
+def session_stream(
+    spark: SparkSession,
+    source_dir: str,
+    gap: str = "10 minutes",
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Per-user session windows over the event stream: consecutive events of
+    a user merge into one session while each arrives within *gap* of the
+    previous; the session closes (and emits, in append mode) once the
+    watermark passes its end. Built-in ``session_window`` — Spark keeps one
+    merged-window state entry per open session, so state is bounded by the
+    number of concurrently-open sessions, not by stream length."""
+    ev = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def progress_stream(spark: SparkSession, outcomes_dir: str, outcomes_schema) -> DataFrame:
     """Running crawl counters (the reference's stats dict, crawler.py:88-95)
     as an update-mode streaming aggregation over outcome rows."""
