@@ -570,6 +570,91 @@ WHERE p.purchase_ts >= c.click_ts
 """
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it (the time-series enrichment pattern; Spark has no
+    native ASOF operator). Expressed as ONE shuffle: union both sides tagged
+    by kind, then a per-user running ``last(click, ignorenulls)`` over the
+    event-time order — O(n log n) per user partition, no range join, no
+    per-row probe. Ties: a click at the purchase's exact ts matches (kind
+    orders clicks first); equal-ts clicks resolve to the highest event_id.
+    The oracle states the same thing as a lateral top-1 per purchase."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_struct = F.when(
+        F.col("kind") == 0, F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+    )
+    enriched = tagged.withColumn("last_click", F.last(click_struct, ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("kind") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+            F.col("last_click.cid").alias("click_id"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click.cts")
+            ).alias("lag_s"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT p.user_id, p.event_id AS purchase_id, p.value AS purchase_value,
+       c.click_id,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.click_ts)) AS BIGINT) AS lag_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT event_id AS click_id, ts AS click_ts
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c ON TRUE
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data curation: keep a
+    per-stratum fraction of rows chosen by an md5-hex threshold on the row
+    key — reproducible on any cluster / partition layout (no RNG state), and
+    bit-identical across engines since both sides compare the same hex
+    digest lexicographically. Rates: purchase 100%, click 50%, view 25%,
+    everything else ~6.25%."""
+    ev = table(spark, sf_dir, "events")
+    h = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    thresh = (
+        F.when(F.col("event_type") == "purchase", F.lit("ff"))
+        .when(F.col("event_type") == "click", F.lit("80"))
+        .when(F.col("event_type") == "view", F.lit("40"))
+        .otherwise(F.lit("10"))
+    )
+    return ev.filter(h <= thresh).select(
+        "event_id", "user_id", "event_type", F.date_format("ts", TS_FMT_SPARK).alias("ts_str")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT event_id, user_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+FROM events
+WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <=
+      CASE event_type WHEN 'purchase' THEN 'ff' WHEN 'click' THEN '80'
+                      WHEN 'view' THEN '40' ELSE '10' END
+"""
+
+
 # --- F5: the URL-canonicalization pandas UDF (crawler.py:407-427) ----------
 # Hrefs are synthesized deterministically from event ids in six known forms,
 # so the DuckDB oracle can state the expected canonical URL in closed form —
@@ -709,6 +794,8 @@ QUERIES = {
     "hourly_rollup": hourly_rollup,
     "session_rollup": session_rollup,
     "attribution_join": attribution_join,
+    "asof_join": asof_join,
+    "stratified_sample": stratified_sample,
     "url_canonicalize": url_canonicalize,
     "distinct_users": distinct_users,
     "status_rollup": status_rollup,
@@ -740,4 +827,6 @@ ORACLES = {
     "hourly_rollup": SQL_HOURLY_ROLLUP,
     "session_rollup": SQL_SESSION_ROLLUP,
     "attribution_join": SQL_ATTRIBUTION_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
