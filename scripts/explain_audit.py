@@ -37,6 +37,15 @@ AUDITS = {
     # grand total via broadcast cross join of a 1-row agg — no Window at all
     "status_breakdown": (["BroadcastNestedLoopJoin"], ["Window", "BatchEvalPython"]),
     "text_quality": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    # one shuffle (partitionBy user_id), running-last window — no range join,
+    # no cartesian, no Python
+    "asof_join": (["Window"], ["CartesianProduct", "SortMergeJoin", "BatchEvalPython"]),
+    # pushed equality-side filters feed a shuffled equi-join on user_id; the
+    # interval predicate stays a post-join filter, never a cartesian
+    "attribution_join": (["PushedFilters: [IsNotNull(event_type)"], ["CartesianProduct", "BatchEvalPython"]),
+    "session_rollup": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # the sampling predicate evaluates JVM-side in the scan stage
+    "stratified_sample": ([], ["BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
