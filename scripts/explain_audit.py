@@ -46,6 +46,15 @@ AUDITS = {
     "session_rollup": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # the sampling predicate evaluates JVM-side in the scan stage
     "stratified_sample": ([], ["BatchEvalPython", "ArrowEvalPython"]),
+    # iterative rank: every iteration joins the (tiny) rank side by
+    # broadcast against the once-partitioned edge list — never a shuffle of
+    # the edges per round, never a cartesian
+    "host_pagerank": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # two-phase cumsum: only per-_pid-partitioned Windows (no global sort to
+    # one task)
+    "doc_pack": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # df + ndocs sides broadcast; the per-doc window is naturally partitioned
+    "tfidf_topterms": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 

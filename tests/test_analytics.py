@@ -30,6 +30,9 @@ PARITY_SUBSET = [
     "text_langid",
     "embed_cosine_topk",
     "embed_lsh_ann",
+    "host_pagerank",
+    "doc_pack",
+    "tfidf_topterms",
 ]
 
 

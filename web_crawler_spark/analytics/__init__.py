@@ -10,9 +10,9 @@ weaker rows-only check (reserved for genuinely non-SQL-expressible ops).
 
 from __future__ import annotations
 
-from . import crawlq, dedup, multimodal, relational, similarity, text
+from . import crawlq, dedup, graph, multimodal, relational, similarity, text
 
-_MODULES = (relational, dedup, text, similarity, multimodal, crawlq)
+_MODULES = (relational, dedup, text, graph, similarity, multimodal, crawlq)
 
 QUERIES = {}
 ORACLES = {}

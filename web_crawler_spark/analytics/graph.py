@@ -1,0 +1,264 @@
+"""Graph + corpus-pipeline operators: fixed-point PageRank over the host
+link graph, context-window sequence packing, and integer-exact TF-IDF term
+ranking.
+
+These extend the crawl engine's analytics surface with the three workloads a
+crawl corpus feeds at 100 TB: link-graph authority scoring (prioritising the
+frontier — the reference's FIFO order is the degenerate case, cf.
+Crawler/crawler.py:619-622 where admission order is the only priority),
+packing deduplicated documents into fixed-size training context windows, and
+ranking salient terms per document for retrieval indexes.
+
+Oracle-parity strategy (shared with the rest of the suite): every arithmetic
+step is INTEGER — fixed-point damping (17/20 = 0.85), integer floor
+division (`DIV` in Spark, `//` in DuckDB, identical for non-negative
+operands), and integer sums (associative, so the value is independent of
+partition/reduction order on any cluster layout). No float ever enters an
+aggregate, which is what makes a 3-iteration PageRank bit-reproducible in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .common import table
+from .text import SQL_WORDS, _WORDS
+
+# --- host_pagerank ---------------------------------------------------------
+# Graph derived deterministically from `events`: 97 host nodes, edge
+# src -> dst for every distinct (user_id % 97, event_id % 97) pair. Rank is
+# held in integer micro-units (1e6 = 1.0); one iteration is
+#   rank'(v) = 150000 + sum_{u->v} (rank(u) * 17) DIV (20 * outdeg(u))
+# i.e. damping 0.85 with floor at every edge. Dangling-node mass is dropped
+# (deterministically, in both engines).
+#
+# Scale shape: edges join ranks on src each iteration — the canonical
+# distributed PageRank. The rank table is |nodes| rows (tiny vs |edges|), so
+# it is broadcast; the edge table keeps ONE hash partitioning on src across
+# all iterations (no re-shuffle per round). At 10^10 edges the same plan
+# holds with the broadcast swapped for a co-partitioned shuffle join on src
+# — the edge side still never re-partitions.
+
+PR_MOD = 97
+PR_R0 = 1_000_000
+PR_BASE = 150_000  # floor(0.15 * 1e6)
+PR_ITERS = 3
+
+
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % PR_MOD).alias("src"),
+            (F.col("event_id") % PR_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # one partitioning of the weighted edge list, reused by every iteration
+    ew = (
+        edges.join(outdeg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    rank = nodes.select("node", F.lit(PR_R0).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = ew.join(
+            F.broadcast(rank), ew["src"] == rank["node"]
+        ).select(
+            "dst",
+            F.expr("(rank * 17) DIV (20 * outdeg)").alias("c"),
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        rank = (
+            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            .select(
+                "node",
+                (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return rank.orderBy(F.desc("rank"), "node")
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node,
+         CAST(150000 + COALESCE(SUM(c.c), 0) AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, (r.rank * 17) // (20 * e.outdeg) AS c
+    FROM ew e JOIN {prev} r ON e.src = r.node
+  ) c ON c.dst = n.node
+  GROUP BY n.node
+)"""
+
+
+SQL_HOST_PAGERANK = f"""
+WITH edges AS (
+  SELECT DISTINCT user_id % {PR_MOD} AS src, event_id % {PR_MOD} AS dst
+  FROM events WHERE user_id % {PR_MOD} != event_id % {PR_MOD}
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), ew AS (
+  SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outdeg o USING (src)
+), r0 AS (
+  SELECT node, CAST({PR_R0} AS BIGINT) AS rank FROM nodes
+),{_sql_pr_iter("r0", "r1")},{_sql_pr_iter("r1", "r2")},{_sql_pr_iter("r2", "r3")}
+SELECT node, rank FROM r3 ORDER BY rank DESC, node
+"""
+
+
+# --- doc_pack --------------------------------------------------------------
+# Sequence packing: assign documents (in doc_id order) to fixed-capacity
+# training context windows by global token cumsum — bin = floor(tokens
+# consumed before this doc / capacity). The contiguous-fill contract is the
+# SQL-expressible packing used by large-corpus training pipelines (greedy
+# first-fit is order-dependent and not reduction-safe).
+#
+# Scale shape: the global cumsum is TWO-PHASE (range-partition by doc_id,
+# per-partition window cumsum, tiny per-partition totals collect, offset
+# add) — the same pattern as engine.global_rank — so no single-partition
+# WindowExec appears anywhere and the plan survives a 10^10-document corpus.
+
+PACK_CAP = 1024  # tokens per context window
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"))
+    part = (
+        toks.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in part.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if offsets:
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        offset_expr = omap[F.col("_pid")]
+    else:
+        offset_expr = F.lit(0).cast("long")
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    return (
+        part.withColumn("cum_local", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (offset_expr + F.col("cum_local")).cast("long").alias("cum_tokens"),
+        )
+        .withColumn(
+            "bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {PACK_CAP}")
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_PACK = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({SQL_WORDS}) AS BIGINT) AS n_tokens FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       (cum_tokens - n_tokens) // {PACK_CAP} AS bin_id
+FROM cum ORDER BY doc_id
+"""
+
+
+# --- tfidf_topterms --------------------------------------------------------
+# Top-3 salient terms per document by an integer-exact tf-idf surrogate:
+# score = tf * n_docs * 1000 DIV df (monotone in tf * (N/df); log-free so
+# the value is bit-identical cross-engine). Tie-break by term asc makes the
+# top-3 a set, not a race.
+#
+# Scale shape: explode -> two hash aggregations (tf on (doc, term), df on
+# term, both map-side partial) -> broadcast the tiny df/ndocs sides -> a
+# per-document window (naturally partitioned — no global window). High-df
+# boilerplate terms score near 0 and never enter the top-3, so no skew
+# pathologies from stopwords.
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select("doc_id", F.explode(F.expr(_WORDS)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    ndocs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.expr("(tf * n_docs * 1000) DIV df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+SQL_TFIDF_TOPTERMS = f"""
+WITH words AS (
+  SELECT doc_id, w AS term
+  FROM (SELECT doc_id, unnest({SQL_WORDS}) AS w FROM documents)
+  WHERE w != ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         (t.tf * n.n_docs * 1000) // d.df AS score
+  FROM tf t JOIN dfx d USING (term) CROSS JOIN nd n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk
+FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
+"""
+
+
+QUERIES = {
+    "host_pagerank": host_pagerank,
+    "doc_pack": doc_pack,
+    "tfidf_topterms": tfidf_topterms,
+}
+
+ORACLES = {
+    "host_pagerank": SQL_HOST_PAGERANK,
+    "doc_pack": SQL_DOC_PACK,
+    "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+}
