@@ -42,6 +42,9 @@ HEADLINE = [
     "embed_lsh_ann",
     "multimodal_features",
     "image_phash_neardup",
+    "host_pagerank",
+    "doc_pack",
+    "tfidf_topterms",
 ]
 
 

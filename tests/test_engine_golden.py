@@ -166,3 +166,27 @@ def test_engine_resume_discards_partial_round(spark, tmp_path, golden):
     # and — the real guarantee — results are exactly the oracle's (surviving
     # partial data would duplicate crawl_log rows and fail here)
     assert_matches_oracle(spark, run2, golden)
+
+
+def test_engine_time_travel_read(spark, tmp_path, golden):
+    """Iceberg-style time travel: reading a table `as_of_round=r` must equal
+    the final state filtered to rounds <= r — i.e. the manifest filter
+    reconstructs exactly the state that was committed at that round boundary,
+    with no partial or later data visible."""
+    run = engine.crawl(spark, JOB, CFG, RULES, str(tmp_path / "tt"), budget=10)
+    assert run.rounds >= 3
+    final_seen = run.read(spark, "seen").collect()
+    final_log = run.read(spark, "crawl_log").collect()
+    for r in (1, run.rounds - 1):
+        seen_r = {(x["seq"], x["url"]) for x in run.read(spark, "seen", as_of_round=r).collect()}
+        exp_seen = {(x["seq"], x["url"]) for x in final_seen if x["round_added"] <= r}
+        assert seen_r == exp_seen and seen_r  # non-empty prefix state
+        log_r = {(x["schedule_rank"], x["url"]) for x in run.read(spark, "crawl_log", as_of_round=r).collect()}
+        exp_log = {(x["schedule_rank"], x["url"]) for x in final_log if x["round"] <= r}
+        assert log_r == exp_log
+    # as-of the final round == current state
+    assert {(x["seq"], x["url"]) for x in run.read(spark, "seen", as_of_round=run.rounds).collect()} == {
+        (x["seq"], x["url"]) for x in final_seen
+    }
+    with pytest.raises(ValueError):
+        run.read(spark, "frontier", as_of_round=1)

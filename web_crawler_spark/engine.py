@@ -112,10 +112,22 @@ class CrawlRun:
     state: RunState
     rounds: int = 0
 
-    def read(self, spark: SparkSession, name: str) -> Optional[DataFrame]:
-        """Read a physical table or a derived (metadata-only) projection."""
+    def read(
+        self, spark: SparkSession, name: str, as_of_round: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Read a physical table or a derived (metadata-only) projection.
+
+        *as_of_round* is Iceberg-style time travel: the state as committed at
+        the end of that round (snapshot manifest filter — no data rewrite, no
+        extra I/O beyond the snapshots that existed then). Supported for the
+        physical tables and every derived projection; the live ``frontier``
+        view is current-state-only (its watermarks live in run state, which
+        is not versioned per round).
+        """
         jid = self.job.job_id
         if name == "frontier":
+            if as_of_round is not None:
+                raise ValueError("frontier view does not support time travel")
             st = self.state.load() or {}
             mode = st.get("frontier")
             if mode in ("derived", "derived_per_host"):
@@ -130,10 +142,14 @@ class CrawlRun:
             return self.tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if name in PHYSICAL_TABLES:
             schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
-            return self.tables[name].read(spark, schema=schema)
-        stage = self.tables["stage"].read(spark, schema=STAGE_SCHEMA)
+            return self.tables[name].read(spark, as_of_round=as_of_round, schema=schema)
+        stage = self.tables["stage"].read(
+            spark, as_of_round=as_of_round, schema=STAGE_SCHEMA
+        )
         if name == "seen":
-            adm = self.tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+            adm = self.tables["admissions"].read(
+                spark, as_of_round=as_of_round, schema=FRONTIER_SCHEMA
+            )
             if adm is None:
                 return None
             return adm.select(
