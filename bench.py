@@ -45,6 +45,7 @@ HEADLINE = [
     "host_pagerank",
     "doc_pack",
     "tfidf_topterms",
+    "approx_distinct_kmv",
 ]
 
 

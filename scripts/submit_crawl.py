@@ -34,6 +34,8 @@ def main() -> None:
     ap.add_argument("--per-host", action="store_true")
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="merge+expire completed-round snapshots every k rounds")
     ap.add_argument("--web-pages", type=int, default=30_000,
                     help="synthetic-web universe size (stand-in for the network)")
     args = ap.parse_args()
@@ -69,6 +71,7 @@ def main() -> None:
         politeness_mode="per_host" if args.per_host else "global",
         use_bloom=args.bloom,
         resume=args.resume,
+        compact_every=args.compact_every,
     )
     n = run.read(spark, "outcomes").count()
     print(json.dumps({"job_id": job.job_id, "rounds": run.rounds, "urls": n,

@@ -190,3 +190,41 @@ def test_engine_time_travel_read(spark, tmp_path, golden):
     }
     with pytest.raises(ValueError):
         run.read(spark, "frontier", as_of_round=1)
+
+
+def test_engine_compaction_golden(spark, tmp_path, golden):
+    """Snapshot compaction (Iceberg rewrite_data_files + expire_snapshots):
+    merging completed-round snapshots must not change any result, must shrink
+    the manifest, and must keep time travel working at/after the horizon
+    while raising for expired rounds."""
+    run = engine.crawl(
+        spark, JOB, CFG, RULES, str(tmp_path / "cp"), budget=10, compact_every=2
+    )
+    assert run.rounds >= 4
+    assert_matches_oracle(spark, run, golden)
+    snaps = run.tables["admissions"]._load()
+    assert len(snaps) < run.rounds  # rounds merged away
+    horizon = max(s.get("compacted_through", -1) for s in snaps)
+    assert horizon >= 2
+    # at/after the horizon: exact prefix state, same as the uncompacted run
+    seen_h = run.read(spark, "seen", as_of_round=horizon)
+    final = run.read(spark, "seen").collect()
+    assert {(x["seq"], x["url"]) for x in seen_h.collect()} == {
+        (x["seq"], x["url"]) for x in final if x["round_added"] <= horizon
+    }
+    # before the horizon: expired — explicit error, never silent empty state
+    with pytest.raises(ValueError, match="compacted/expired"):
+        run.read(spark, "seen", as_of_round=horizon - 1)
+
+
+def test_engine_resume_after_compaction(spark, tmp_path, golden):
+    """Crash-resume across a compaction boundary: the merged snapshot carries
+    only completed rounds, so rollback-on-resume never drops merged data and
+    the finished crawl still matches the oracle exactly."""
+    path = str(tmp_path / "cpres")
+    run1 = engine.crawl(
+        spark, JOB, CFG, RULES, path, budget=10, max_rounds=3, compact_every=2
+    )
+    assert run1.rounds == 3
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
+    assert_matches_oracle(spark, run2, golden)

@@ -251,14 +251,77 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 """
 
 
+# --- approx_distinct_kmv ---------------------------------------------------
+# K-minimum-values cardinality sketch: hash every key into [0, 2^48), keep
+# the k smallest hashes, estimate |distinct| = (k-1) * 2^48 DIV kth_min.
+# All-integer (md5-derived hashes + floor division), so the sketch estimate
+# is bit-identical cross-engine — unlike HLL, whose harmonic-mean float math
+# is not oracle-pairable. The true exact count rides along in the same row
+# as the verification baseline.
+#
+# Scale shape: the k smallest hashes come from orderBy+limit — Spark executes
+# that as TakeOrdered: each partition keeps its local k minima and the driver
+# merges k-sized heaps. That IS the KMV merge operator (sketch union =
+# k smallest of the concatenation), so the plan never shuffles the data and
+# holds at 10^10 keys; the exact countDistinct baseline alongside is the
+# only full shuffle in the plan and exists purely to report sketch error.
+
+KMV_K = 64
+KMV_SPACE = 1 << 48  # 12 hex digits of md5: (k-1)*2^48 stays far below 2^63
+
+
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    kth = (
+        hashes.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_min"), F.count("*").alias("k_seen"))
+    )
+    exact = ev.agg(F.countDistinct("event_id").alias("true_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).alias("k"),
+            "k_seen",
+            "kth_min",
+            F.expr(f"({KMV_K} - 1) * {KMV_SPACE}L DIV kth_min").alias("est_distinct"),
+            "true_distinct",
+        )
+    )
+
+
+SQL_APPROX_DISTINCT_KMV = f"""
+WITH hashes AS (
+  SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+  FROM events
+), kth AS (
+  SELECT max(h) AS kth_min, count(*) AS k_seen
+  FROM (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K})
+), exact AS (
+  SELECT count(DISTINCT event_id) AS true_distinct FROM events
+)
+SELECT {KMV_K} AS k, k_seen, kth_min,
+       ({KMV_K} - 1) * {KMV_SPACE} // kth_min AS est_distinct,
+       true_distinct
+FROM kth CROSS JOIN exact
+"""
+
+
 QUERIES = {
     "host_pagerank": host_pagerank,
     "doc_pack": doc_pack,
     "tfidf_topterms": tfidf_topterms,
+    "approx_distinct_kmv": approx_distinct_kmv,
 }
 
 ORACLES = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "doc_pack": SQL_DOC_PACK,
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
+    "approx_distinct_kmv": SQL_APPROX_DISTINCT_KMV,
 }

@@ -91,6 +91,12 @@ class SnapshotTable:
         """Snapshot paths contributing to the current (or as-of-round) state."""
         snaps = self._load()
         if as_of_round is not None:
+            expired = max((s.get("compacted_through", -1) for s in snaps), default=-1)
+            if as_of_round < expired:
+                raise ValueError(
+                    f"time travel to round {as_of_round} impossible: snapshots "
+                    f"through round {expired} were compacted/expired"
+                )
             snaps = [s for s in snaps if s["round"] <= as_of_round]
         live: list[dict] = []
         for s in snaps:  # manifest order == commit order
@@ -116,6 +122,84 @@ class SnapshotTable:
             return None
         reader = spark.read.schema(schema) if schema is not None else spark.read
         return reader.parquet(*paths)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        up_to_round: Optional[int] = None,
+        schema=None,
+        target_partitions: Optional[int] = None,
+        min_snapshots: int = 2,
+        cluster_by: Optional[list] = None,
+    ) -> bool:
+        """Merge the live snapshots with ``round <= up_to_round`` into ONE
+        snapshot and expire the originals (Iceberg's rewrite_data_files +
+        expire_snapshots). A round-per-snapshot layout accumulates
+        O(rounds × tasks) small parquet files — the classic small-files
+        problem; at 10^10 URLs the admissions table would otherwise carry
+        millions of files and every derived-frontier read would pay the
+        listing + footer cost. Compaction bounds live file count without
+        changing any read result *at or after* the horizon; time travel
+        BEFORE the horizon is expired (exactly Iceberg's trade-off).
+
+        Only completed rounds may be compacted: the merged snapshot carries
+        the max merged round, so a crash-resume ``rollback_to_round(r)`` with
+        r >= horizon never drops merged data. Returns True if a rewrite
+        happened (skipped when fewer than *min_snapshots* qualify).
+        """
+        snaps = self._load()
+        live: list[dict] = []
+        for s in snaps:
+            if s["mode"] == "overwrite":
+                live = [s]
+            else:
+                live.append(s)
+        horizon = max((s["round"] for s in live), default=0) if up_to_round is None else up_to_round
+        # live is commit-ordered; only a PREFIX may merge (rounds are
+        # monotone per commit order), so later snapshots keep their place
+        prefix = []
+        for s in live:
+            if s["round"] <= horizon:
+                prefix.append(s)
+            else:
+                break
+        if len(prefix) < min_snapshots:
+            return False
+        paths: list[str] = []
+        for s in prefix:
+            paths.extend(s["paths"] if s.get("ref") else [s["path"]])
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(*paths)
+        if target_partitions is None:
+            target_partitions = spark.sparkContext.defaultParallelism
+        sid = (max((s["snapshot_id"] for s in snaps), default=0)) + 1
+        # "-c" namespace: a crash between data write and manifest commit
+        # orphans this dir without ever colliding with a future write()'s
+        # snap-{sid} path (the manifest — and thus sid reuse — is unchanged)
+        merged_path = os.path.join(self.dir, f"snap-{sid:06d}-c")
+        if cluster_by:
+            # preserve key-clustering so min/max parquet stats keep pruning
+            # reads (e.g. the derived frontier's `seq >= watermark` filter
+            # skips fully-consumed files by footer stats alone)
+            df = df.repartitionByRange(target_partitions, *cluster_by).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.repartition(target_partitions)
+        df.write.mode("errorifexists").parquet(merged_path)
+        merged = {
+            "snapshot_id": sid,
+            "mode": prefix[0]["mode"],
+            "round": max(s["round"] for s in prefix),
+            "path": merged_path,
+            "rows": -1,
+            "compacted_through": max(s["round"] for s in prefix),
+        }
+        remaining = live[len(prefix):]
+        self._commit([merged] + remaining)
+        dead = [s for s in snaps if s not in live]  # superseded by overwrite
+        for s in prefix + dead:  # expire AFTER the manifest swap — no reader race
+            if not s.get("ref"):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        return True
 
     def rollback_to_round(self, round: int) -> None:
         """Drop snapshots committed after *round* (crash-resume cleanup)."""

@@ -143,10 +143,10 @@ class CrawlRun:
         if name in PHYSICAL_TABLES:
             schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
             return self.tables[name].read(spark, as_of_round=as_of_round, schema=schema)
-        stage = self.tables["stage"].read(
-            spark, as_of_round=as_of_round, schema=STAGE_SCHEMA
-        )
         if name == "seen":
+            # admissions-only projection: never touches the stage table (the
+            # two tables compact independently, so their expiry horizons —
+            # and therefore their time-travel ranges — can differ)
             adm = self.tables["admissions"].read(
                 spark, as_of_round=as_of_round, schema=FRONTIER_SCHEMA
             )
@@ -155,6 +155,9 @@ class CrawlRun:
             return adm.select(
                 "job_id", "url_hash", "url", "seq", "round_added"
             )
+        stage = self.tables["stage"].read(
+            spark, as_of_round=as_of_round, schema=STAGE_SCHEMA
+        )
         if stage is None:
             return None
         if name == "outcomes":
@@ -313,6 +316,7 @@ def crawl(
     resume: bool = False,
     max_rounds: int = 10_000,
     fetch_partitions: Optional[int] = None,
+    compact_every: Optional[int] = None,
 ) -> CrawlRun:
     """Run (or resume) a crawl job to fixpoint. See module docstring."""
     job.validate()
@@ -558,6 +562,18 @@ def crawl(
         state_store.save(st)
         run.rounds = rnd
         tm.mark("frontier_commit")
+        if compact_every and rnd % compact_every == 0:
+            # maintenance (Iceberg rewrite_data_files): bound live file count
+            # of the append-per-round tables. Runs AFTER the state save, so
+            # every merged round is completed — crash-resume's
+            # rollback_to_round(saved round) can never drop merged data.
+            tables["stage"].compact(
+                spark, up_to_round=rnd, schema=STAGE_SCHEMA, cluster_by=["round", "seq"]
+            )
+            tables["admissions"].compact(
+                spark, up_to_round=rnd, schema=FRONTIER_SCHEMA, cluster_by=["seq"]
+            )
+            tm.mark("compact")
         tm.report()
 
     return run
