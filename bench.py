@@ -125,9 +125,14 @@ def main() -> None:
     spark.catalog.clearCache()
     # crawl leg: best of two runs, same spike-resistance rationale as
     # run_query (a neighbor burst landing mid-crawl otherwise halves the
-    # reported headline throughput at random); both raw runs are emitted
-    crawl_runs = [run_crawl(spark, n_crawl), run_crawl(spark, n_crawl)]
-    crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
+    # reported headline throughput at random); both raw runs are emitted.
+    # WCS_BENCH_CRAWL_URLS=0 skips the leg (queries-only passes, e.g. sf1).
+    if n_crawl > 0:
+        crawl_runs = [run_crawl(spark, n_crawl), run_crawl(spark, n_crawl)]
+        crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
+    else:
+        crawl_runs = []
+        crawl = {"urls": 0, "sec": 0.0, "urls_per_sec": 0.0, "rounds": 0}
     total = round(sum(times.values()) + crawl["sec"], 3)
     # same-window single-core CPU canary (scripts/canary.py), measured at
     # both ends: this sandbox's effective core speed drifts up to ~9x with

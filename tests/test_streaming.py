@@ -152,3 +152,38 @@ def test_stateful_dedup_stream(spark, tmp_path):
     for url, h, hb, seq in itertools.chain(rows1, rows2):
         want.setdefault((hb, h), seq)
     assert got == want
+
+
+def test_stream_kmv_matches_batch(spark, tmp_path):
+    """Streaming KMV sketch parity: per-shard k-minima state, fed the events
+    table in 3 arbitrary chunks, merges to the EXACT kth_min/est_distinct of
+    the batch approx_distinct_kmv query (sketch union == batch TakeOrdered)."""
+    from web_crawler_spark.analytics.graph import approx_distinct_kmv
+    from web_crawler_spark.streaming import stream_kmv
+
+    ev = spark.read.parquet(SF_EVENTS)
+    hashed = stream_kmv.hashed_keys(ev, "event_id")
+    src = tmp_path / "kmv_stream"
+    # 3 chunk files: cross-batch state merging is what's under test
+    hashed.withColumn("_c", F.pmod(F.col("h"), F.lit(3))).repartition(3, "_c").drop(
+        "_c"
+    ).write.parquet(str(src))
+
+    q = stream_rollup.run_to_memory(
+        stream_kmv.kmv_stream(spark, str(src)), name="kmv_t", mode="update"
+    )
+    try:
+        rows = spark.table("kmv_t").collect()
+    finally:
+        q.stop()
+    # live sketch = the row with the max update counter per shard
+    latest = {}
+    for r in rows:
+        if r["shard"] not in latest or r["upd"] > latest[r["shard"]]["upd"]:
+            latest[r["shard"]] = r
+    merged = stream_kmv.merge_shard_minima([r["minima"] for r in latest.values()])
+
+    batch = approx_distinct_kmv(spark, "/root/testdata/sf0.001").collect()[0]
+    assert merged["kth_min"] == batch["kth_min"]
+    assert merged["est_distinct"] == batch["est_distinct"]
+    assert merged["k_seen"] == batch["k_seen"]
