@@ -46,6 +46,7 @@ HEADLINE = [
     "doc_pack",
     "tfidf_topterms",
     "approx_distinct_kmv",
+    "corpus_pipeline",
 ]
 
 

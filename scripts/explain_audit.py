@@ -55,6 +55,9 @@ AUDITS = {
     "doc_pack": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # df + ndocs sides broadcast; the per-doc window is naturally partitioned
     "tfidf_topterms": (["BroadcastHashJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # retention -> pack -> rollup composed: still no Python, no cartesian,
+    # no single-partition window
+    "corpus_pipeline": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 

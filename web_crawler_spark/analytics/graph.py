@@ -136,9 +136,10 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node
 PACK_CAP = 1024  # tokens per context window
 
 
-def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"))
+def _pack_bins(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens) → + (cum_tokens, bin_id) by global doc_id-order
+    cumsum, two-phase (see module note). Shared by doc_pack and
+    corpus_pipeline."""
     part = (
         toks.repartitionByRange("doc_id")
         .sortWithinPartitions("doc_id")
@@ -166,11 +167,14 @@ def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (offset_expr + F.col("cum_local")).cast("long").alias("cum_tokens"),
         )
-        .withColumn(
-            "bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {PACK_CAP}")
-        )
-        .orderBy("doc_id")
+        .withColumn("bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {PACK_CAP}"))
     )
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"))
+    return _pack_bins(toks).orderBy("doc_id")
 
 
 SQL_DOC_PACK = f"""
@@ -185,6 +189,63 @@ WITH toks AS (
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
        (cum_tokens - n_tokens) // {PACK_CAP} AS bin_id
 FROM cum ORDER BY doc_id
+"""
+
+
+# --- corpus_pipeline -------------------------------------------------------
+# The end-to-end training-data pipeline a reference user runs over a crawled
+# corpus, composed from the registered stages: retention verdict
+# (near-dup fingerprint + length gate + quality score, text.py) → keep only
+# → pack survivors into fixed-capacity context windows → per-window summary.
+# Demonstrates that the operators compose as one declarative plan: Catalyst
+# sees retention + packing together and prunes columns across the boundary.
+#
+# Scale shape: retention is one shuffle pair on the fingerprint key; packing
+# adds the two-phase cumsum; the final rollup is a map-side-combined groupBy
+# on bin_id. No new shuffle class beyond the stages' own.
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import corpus_retention
+
+    kept = (
+        corpus_retention(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id", F.col("n_words").cast("long").alias("n_tokens"))
+    )
+    return (
+        _pack_bins(kept)
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+def _sql_corpus_pipeline() -> str:
+    from .text import SQL_CORPUS_RETENTION
+
+    return f"""
+WITH verdicts AS ({SQL_CORPUS_RETENTION}),
+kept AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens
+  FROM verdicts WHERE keep
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM kept
+)
+SELECT (cum_tokens - n_tokens) // {PACK_CAP} AS bin_id,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum GROUP BY bin_id ORDER BY bin_id
 """
 
 
@@ -315,6 +376,7 @@ FROM kth CROSS JOIN exact
 QUERIES = {
     "host_pagerank": host_pagerank,
     "doc_pack": doc_pack,
+    "corpus_pipeline": corpus_pipeline,
     "tfidf_topterms": tfidf_topterms,
     "approx_distinct_kmv": approx_distinct_kmv,
 }
@@ -322,6 +384,7 @@ QUERIES = {
 ORACLES = {
     "host_pagerank": SQL_HOST_PAGERANK,
     "doc_pack": SQL_DOC_PACK,
+    "corpus_pipeline": _sql_corpus_pipeline(),
     "tfidf_topterms": SQL_TFIDF_TOPTERMS,
     "approx_distinct_kmv": SQL_APPROX_DISTINCT_KMV,
 }
