@@ -96,6 +96,10 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn"))
     sim = F.round(_flat_dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    # explicit-count repartition (AQE never coalesces a user-fixed count):
+    # the candidate scan is 1 file -> 1 partition, and BNLJ parallelism
+    # equals the stream side's partition count (see embed_neardup)
+    c = c.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     return (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -131,6 +135,11 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
                  F.col("nrm").alias("nb"), F.col("label").alias("label_b"))
     sim = F.round(_flat_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    # spread the pair evaluation: the embeddings scan is often ONE file/
+    # partition, and a BroadcastNestedLoopJoin's parallelism equals its
+    # stream-side partition count — without this repartition a single task
+    # evaluated all O(n²) dot products (47 s → 4 s at sf0.1, 32 cores)
+    a = a.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
