@@ -47,6 +47,7 @@ HEADLINE = [
     "tfidf_topterms",
     "approx_distinct_kmv",
     "corpus_pipeline",
+    "corpus_decontaminate",
 ]
 
 

@@ -58,6 +58,8 @@ AUDITS = {
     # retention -> pack -> rollup composed: still no Python, no cartesian,
     # no single-partition window
     "corpus_pipeline": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # benchmark-shingle probe: equi-joins only, bounded fanout, no Python
+    "corpus_decontaminate": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 

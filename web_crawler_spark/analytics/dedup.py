@@ -475,8 +475,76 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. benchmark decontamination: flag training documents that share n-grams
+# with a held-out benchmark set — the standard pre-training decontamination
+# pass. Benchmark stand-in: doc_id % 20 == 0 (deterministic, both engines).
+#
+# Scale shape: the benchmark side is tiny relative to the corpus (broadcast
+# at real scale); benchmark shingles present in more than SHINGLE_DF_CAP
+# benchmark docs are dropped as boilerplate BEFORE the join (they bound the
+# per-shingle fanout and carry no contamination signal), so the probe is
+# O(train shingles) with bounded fanout — never a quadratic blowup. One
+# shuffle pair: the shingle join + the per-doc aggregate.
+# ---------------------------------------------------------------------------
+
+DECON_MOD = 20        # doc_id % DECON_MOD == 0 -> benchmark set
+DECON_MIN_SHARED = 2  # contaminated iff >= this many distinct shared shingles
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    bench = sh.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    bench_ok = bench.join(
+        bench.groupBy("sh")
+        .agg(F.countDistinct("bench_id").alias("bdf"))
+        .filter(F.col("bdf") <= SHINGLE_DF_CAP)
+        .select("sh"),
+        "sh",
+    )
+    train = sh.filter(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train.join(bench_ok, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_pairs"),
+            F.countDistinct("sh").alias("n_shared"),
+            F.min("bench_id").alias("first_bench"),
+        )
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+SQL_CORPUS_DECONTAMINATE = f"""
+WITH {SQL_SHINGLE_CTE},
+bench AS (
+  SELECT doc_id AS bench_id, sh FROM shingle WHERE doc_id % {DECON_MOD} = 0
+),
+bench_ok AS (
+  SELECT b.bench_id, b.sh FROM bench b
+  JOIN (SELECT sh FROM bench GROUP BY sh
+        HAVING count(DISTINCT bench_id) <= {SHINGLE_DF_CAP}) o ON o.sh = b.sh
+),
+train AS (
+  SELECT doc_id, sh FROM shingle WHERE doc_id % {DECON_MOD} != 0
+)
+SELECT t.doc_id,
+       count(*) AS n_hit_pairs,
+       count(DISTINCT t.sh) AS n_shared,
+       min(b.bench_id) AS first_bench
+FROM train t JOIN bench_ok b USING (sh)
+GROUP BY t.doc_id
+HAVING count(DISTINCT t.sh) >= {DECON_MIN_SHARED}
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "text_simhash": text_simhash,
@@ -486,6 +554,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "corpus_decontaminate": SQL_CORPUS_DECONTAMINATE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
