@@ -108,13 +108,7 @@ def test_engine_page_cap_exact(spark, tmp_path):
     assert len(seen) == 5
 
 
-def test_engine_per_host_politeness_invariants(spark, tmp_path):
-    """per_host mode is the scale generalization (north_star: host-bucketed
-    priority queue). It must respect the per-host per-round quota and stay
-    deterministic; order within a host must remain FIFO."""
-    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
-    run = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "ph"),
-                       budget=3, politeness_mode="per_host")
+def _assert_per_host_invariants(spark, run):
     from pyspark.sql import functions as F
 
     outc = run.read(spark, "outcomes")
@@ -131,6 +125,28 @@ def test_engine_per_host_politeness_invariants(spark, tmp_path):
         pairs.sort()
         rounds = [rd for _, rd in pairs]
         assert rounds == sorted(rounds), host
+
+
+def test_engine_per_host_politeness_invariants(spark, tmp_path):
+    """per_host mode is the scale generalization (north_star: host-bucketed
+    priority queue). It must respect the per-host per-round quota and stay
+    deterministic; order within a host must remain FIFO."""
+    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
+    run = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "ph"),
+                       budget=3, politeness_mode="per_host")
+    _assert_per_host_invariants(spark, run)
+
+
+def test_engine_per_host_with_compaction(spark, tmp_path):
+    """Snapshot compaction must be invisible to per-host scheduling: quotas,
+    per-host FIFO order, and the watermark-derived frontier all read through
+    the merged snapshots."""
+    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
+    run = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "phc"),
+                       budget=3, politeness_mode="per_host", compact_every=2)
+    _assert_per_host_invariants(spark, run)
+    snaps = run.tables["stage"]._load()
+    assert any("compacted_through" in s for s in snaps)  # compaction happened
 
 
 def test_engine_resume_from_snapshot(spark, tmp_path, golden):
