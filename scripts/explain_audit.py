@@ -60,6 +60,9 @@ AUDITS = {
     "corpus_pipeline": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # benchmark-shingle probe: equi-joins only, bounded fanout, no Python
     "corpus_decontaminate": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # phash block probe vs benchmark images: equi-joins on (k, blk), no cartesian
+    # (the generator mapInPandas is the ingest stand-in, so Python appears only there)
+    "image_decontaminate": ([], ["CartesianProduct"]),
 }
 
 

@@ -395,6 +395,126 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMG_DECON_MOD = 10  # base image ids with n % MOD == 0 form the benchmark set
+
+# 16-bit block k of a signed int64 phash, as logical shift via HUGEINT
+_SQL_U64 = (
+    "(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
+    "THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+)
+
+
+def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side benchmark decontamination: flag training images within
+    phash Hamming <= IMG_HAMMING_T of ANY held-out benchmark image — the
+    multimodal twin of `corpus_decontaminate`. Same 4x16-bit block-bucket
+    candidate rule as image_phash_neardup (complete for the threshold), so
+    the probe is a bounded equi-join against the (small, broadcastable at
+    scale) benchmark block table — never an all-pairs scan. The planted
+    `img-N-v` variants of benchmark images are the ground-truth hits."""
+    sig = (
+        _images_with_variants(spark, sf_dir)
+        .select("image_id", "phash")
+        .localCheckpoint(eager=True)
+    )
+    is_bench = (~F.col("image_id").endswith("-v")) & (
+        F.regexp_extract("image_id", r"img-(\d+)", 1).cast("long") % IMG_DECON_MOD == 0
+    )
+    bench = sig.filter(is_bench).select(
+        F.col("image_id").alias("bench_id"), F.col("phash").alias("bph")
+    )
+    train = sig.filter(~is_bench)
+
+    def _blocks(df, idcol: str, phcol: str):
+        return df.select(
+            idcol,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"),
+                            F.shiftrightunsigned(phcol, 16 * k)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("blk"),
+                        )
+                        for k in range(4)
+                    ]
+                )
+            ).alias("kb"),
+        ).select(idcol, F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk"))
+
+    cand = (
+        _blocks(train, "image_id", "phash")
+        .join(_blocks(bench.withColumnRenamed("bph", "phash"), "bench_id", "phash"), ["k", "blk"])
+        .select("image_id", "bench_id")
+        .distinct()
+    )
+    return (
+        cand.join(train, "image_id")
+        .join(bench, "bench_id")
+        .withColumn(
+            "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.col("bph"))).cast("int")
+        )
+        .filter(F.col("hamming") <= IMG_HAMMING_T)
+        .groupBy("image_id")
+        .agg(
+            F.count("*").alias("n_bench_hits"),
+            F.min("hamming").alias("best_hamming"),
+            F.min("bench_id").alias("first_bench"),
+        )
+        .orderBy("image_id")
+    )
+
+
+SQL_IMAGE_DECONTAMINATE = f"""
+WITH expected(image_id, phash) AS (
+  VALUES {{values}}
+),
+sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {{n_images}})),
+ids AS (
+  SELECT image_id FROM sel
+  UNION ALL
+  SELECT image_id || '-v' FROM sel WHERE doc_id % {{variant_every}} = 0
+),
+ph AS (SELECT image_id, phash FROM ids JOIN expected USING (image_id)),
+bench AS (
+  SELECT image_id AS bench_id, phash AS bph FROM ph
+  WHERE image_id NOT LIKE '%-v'
+    AND CAST(regexp_extract(image_id, 'img-(\\d+)', 1) AS BIGINT) % {IMG_DECON_MOD} = 0
+),
+train AS (
+  SELECT * FROM ph WHERE image_id NOT IN (SELECT bench_id FROM bench)
+),
+tblk AS (
+  SELECT image_id, k,
+         CAST(({_SQL_U64} // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
+  FROM train, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+bblk AS (
+  SELECT bench_id, k,
+         CAST(((CAST(bph AS HUGEINT) + CASE WHEN bph < 0
+                THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+               // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
+  FROM bench, (SELECT unnest(generate_series(0, 3)) AS k)
+),
+cand AS (
+  SELECT DISTINCT t.image_id, b.bench_id
+  FROM tblk t JOIN bblk b ON t.k = b.k AND t.blk = b.blk
+)
+SELECT c.image_id,
+       count(*) AS n_bench_hits,
+       CAST(min(bit_count(xor(t.phash, b.bph))) AS INT) AS best_hamming,
+       min(c.bench_id) AS first_bench
+FROM cand c
+JOIN train t ON t.image_id = c.image_id
+JOIN bench b ON b.bench_id = c.bench_id
+WHERE bit_count(xor(t.phash, b.bph)) <= {IMG_HAMMING_T}
+GROUP BY c.image_id
+ORDER BY c.image_id
+"""
+
+
 def _expected_phashes() -> list[tuple]:
     """Driver-side (image_id, phash) ground truth for base + variant images."""
     out = []
@@ -406,12 +526,6 @@ def _expected_phashes() -> list[tuple]:
             out.append((v["image_id"], v["phash"]))
     return out
 
-
-# 16-bit block k of a signed int64 phash, as logical shift via HUGEINT
-_SQL_U64 = (
-    "(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
-    "THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
-)
 
 SQL_IMAGE_PHASH_NEARDUP = f"""
 WITH expected(image_id, phash) AS (
@@ -614,6 +728,7 @@ QUERIES = {
     "multimodal_audio": multimodal_audio,
     "multimodal_video": multimodal_video,
     "image_phash_neardup": image_phash_neardup,
+    "image_decontaminate": image_decontaminate,
 }
 
 ORACLES = {
@@ -624,5 +739,10 @@ ORACLES = {
     # values filled here because _values is defined below the SQL template
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP.format(
         values=_values(_expected_phashes())
+    ),
+    "image_decontaminate": SQL_IMAGE_DECONTAMINATE.format(
+        values=_values(_expected_phashes()),
+        n_images=N_IMAGES,
+        variant_every=VARIANT_EVERY,
     ),
 }
