@@ -90,6 +90,14 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
         else:
+            # int-vs-float dtype splits (e.g. DuckDB HUGEINT -> pandas float64
+            # while Spark emits int64) hash differently under the driver's
+            # stringifier even when values agree numerically; :.9g used to
+            # mask them here. Flag them as hard failures.
+            for c in sdf.columns:
+                ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+                if {ks, ko} == {"i", "f"} or {ks, ko} == {"u", "f"}:
+                    problems.append(f"dtype split on {c!r}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
             hs, ho = value_hash(sdf), value_hash(odf)
             if hs != ho:
                 problems.append(f"value hash {hs} vs {ho}")

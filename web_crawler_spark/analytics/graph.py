@@ -187,7 +187,7 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
-       (cum_tokens - n_tokens) // {PACK_CAP} AS bin_id
+       CAST((cum_tokens - n_tokens) // {PACK_CAP} AS BIGINT) AS bin_id
 FROM cum ORDER BY doc_id
 """
 
@@ -240,7 +240,7 @@ kept AS (
                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
   FROM kept
 )
-SELECT (cum_tokens - n_tokens) // {PACK_CAP} AS bin_id,
+SELECT CAST((cum_tokens - n_tokens) // {PACK_CAP} AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc,
