@@ -31,9 +31,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.QUERIES["frontier_schedule"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS file is a hard 8192-byte JSON budget (r02 held
+# exactly 50 of 54 entries, cut in registry order). The registry is now 49
+# entries (redundant twins merged/demoted — see module notes), and this
+# explicit order puts the entries with the least prior driver evidence first:
+# the two r02 hash-fails (oracle HUGEINT typing, fixed) and the four entries
+# r02 truncated away, then the merged/renamed entries whose names are new.
+_FIRST = (
+    "doc_pack",
+    "corpus_pipeline",
+    "multimodal_video",
+    "image_phash_neardup",
+    "image_decontaminate",
+    "crawl_bfs",
+    "events_profile",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_image",
+)
+
+
+def _ordered(d: dict) -> dict:
+    return {k: d[k] for k in _FIRST if k in d} | {
+        k: v for k, v in d.items() if k not in _FIRST
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(analytics.QUERIES)
+    return _ordered(analytics.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(analytics.ORACLES)
+    return _ordered(analytics.ORACLES)

@@ -40,7 +40,7 @@ HEADLINE = [
     "text_fingerprint",
     "embed_cosine_topk",
     "embed_lsh_ann",
-    "multimodal_features",
+    "multimodal_image",
     "image_phash_neardup",
     "host_pagerank",
     "doc_pack",

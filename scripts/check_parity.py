@@ -54,7 +54,10 @@ def main() -> int:
         args = args[:i] + args[i + 2:]
     only = set(args)
 
-    from web_crawler_spark.analytics import ORACLES, QUERIES
+    from web_crawler_spark.analytics import LOCAL_ORACLES, LOCAL_QUERIES, ORACLES, QUERIES
+
+    QUERIES = {**QUERIES, **LOCAL_QUERIES}
+    ORACLES = {**ORACLES, **LOCAL_ORACLES}
     from web_crawler_spark.session import get_spark
 
     spark = get_spark(app_name="selfcheck", master="local[8]", shuffle_partitions=8)

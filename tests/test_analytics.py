@@ -61,11 +61,15 @@ def test_every_query_has_registry_consistency():
     assert rows_only == {"crawl_bfs"}  # the iterative engine is the only non-SQL op left
 
 
-def test_multimodal_validation_invariants(spark):
+def test_multimodal_image_invariants(spark):
     """input_hint per-row invariant: decode ok, pixels allclose/PSNR>=40 for
-    lossy, phash match, caption equality — for every synthesized image."""
-    rows = QUERIES["multimodal_validate"](spark, SF_DIR).collect()
+    lossy, phash match, caption equality — for every synthesized image —
+    plus decoded-feature ranges (merged validate+features surface)."""
+    rows = QUERIES["multimodal_image"](spark, SF_DIR).collect()
     assert {r["fmt"] for r in rows} == {"png", "jpeg", "webp"}
+    total = sum(r["n_images"] for r in rows)
+    decoded = sum(r["n_decoded"] for r in rows)
+    assert total == decoded > 0
     for r in rows:
         assert r["n_images"] > 0
         assert r["decode_pass"] == r["n_images"]
@@ -73,14 +77,6 @@ def test_multimodal_validation_invariants(spark):
         assert r["phash_pass"] == r["n_images"]
         assert r["caption_pass"] == r["n_images"]
         assert r["min_psnr_db"] >= 40.0
-
-
-def test_multimodal_features_shapes(spark):
-    rows = QUERIES["multimodal_features"](spark, SF_DIR).collect()
-    total = sum(r["n_images"] for r in rows)
-    decoded = sum(r["n_decoded"] for r in rows)
-    assert total == decoded > 0
-    for r in rows:
         assert 16 <= r["min_w"] <= r["max_w"] <= 64
         assert 16 <= r["min_h"] <= r["max_h"] <= 64
 

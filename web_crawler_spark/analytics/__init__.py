@@ -16,8 +16,15 @@ _MODULES = (relational, dedup, text, graph, similarity, multimodal, crawlq)
 
 QUERIES = {}
 ORACLES = {}
+# verified by scripts/check_parity.py and pytest but kept off the driver
+# registry: the driver's CORRECTNESS file is a hard 8192-byte JSON budget
+# (~50 entries), so redundant twins live here (see each module's note)
+LOCAL_QUERIES = {}
+LOCAL_ORACLES = {}
 for _m in _MODULES:
     for _k, _v in _m.QUERIES.items():
         assert _k not in QUERIES, f"duplicate query name {_k}"
         QUERIES[_k] = _v
     ORACLES.update(getattr(_m, "ORACLES", {}))
+    LOCAL_QUERIES.update(getattr(_m, "LOCAL_QUERIES", {}))
+    LOCAL_ORACLES.update(getattr(_m, "LOCAL_ORACLES", {}))

@@ -341,11 +341,26 @@ simhash AS (
 """
 
 
-def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_df(spark, sf_dir)
+def text_fingerprint_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint surface, one row per doc: the winnowing-style
+    min fingerprint (text.text_fingerprint) joined with the 4x16-bit simhash
+    signature blocks (former separate text_simhash entry — same grain, merged
+    to keep the driver's 8 KB correctness file under budget). Both signals are
+    single-pass projections; the join is doc_id == doc_id on two branches of
+    the same scan, which AQE plans as a local shuffle at any scale."""
+    from .text import text_fingerprint as _fp
+
+    return _fp(spark, sf_dir).join(_simhash_df(spark, sf_dir), "doc_id")
 
 
-SQL_TEXT_SIMHASH = f"WITH {SQL_SIMHASH_CTE} SELECT doc_id, b0, b1, b2, b3 FROM simhash"
+def _sql_text_fingerprint_sig() -> str:
+    from .text import SQL_TEXT_FINGERPRINT
+
+    return (
+        f"WITH {SQL_SIMHASH_CTE}, fp AS ({SQL_TEXT_FINGERPRINT}) "
+        "SELECT fp.doc_id, fp.fingerprint, fp.n_distinct_windows, "
+        "s.b0, s.b1, s.b2, s.b3 FROM fp JOIN simhash s USING (doc_id)"
+    )
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,7 +562,7 @@ QUERIES = {
     "corpus_decontaminate": corpus_decontaminate,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "text_simhash": text_simhash,
+    "text_fingerprint": text_fingerprint_sig,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
 }
@@ -558,6 +573,6 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
-    "text_simhash": SQL_TEXT_SIMHASH,
+    "text_fingerprint": _sql_text_fingerprint_sig(),
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
 }

@@ -722,9 +722,38 @@ GROUP BY fmt ORDER BY fmt
 """
 
 
+def multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format image rollup merging the decode/validate invariant counts
+    (decode/pixels/phash/caption pass, min PSNR) with the decoded-feature
+    ranges (former separate multimodal_validate + multimodal_features
+    entries — both aggregate to the same per-fmt grain, merged to keep the
+    driver's 8 KB correctness file under budget). Both mapInPandas decode
+    paths stay exercised; the final join is on the 3-row fmt key."""
+    v = multimodal_validate(spark, sf_dir)
+    f = multimodal_features(spark, sf_dir).drop("n_images")
+    return v.join(f, "fmt").orderBy("fmt")
+
+
+SQL_MULTIMODAL_IMAGE = f"""
+WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
+  VALUES {_values(_expected_image_metrics())}
+),
+{_img_sel(N_IMAGES)}
+SELECT fmt, count(*) AS n_images,
+       CAST(sum(decode_ok) AS BIGINT) AS decode_pass,
+       CAST(sum(pixels_ok) AS BIGINT) AS pixels_pass,
+       CAST(sum(phash_ok) AS BIGINT) AS phash_pass,
+       CAST(sum(caption_ok) AS BIGINT) AS caption_pass,
+       min(coalesce(psnr_db, 99.0)) AS min_psnr_db,
+       CAST(sum(decode_ok) AS BIGINT) AS n_decoded,
+       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
+FROM sel JOIN expected USING (image_id)
+GROUP BY fmt ORDER BY fmt
+"""
+
+
 QUERIES = {
-    "multimodal_validate": multimodal_validate,
-    "multimodal_features": multimodal_features,
+    "multimodal_image": multimodal_image,
     "multimodal_audio": multimodal_audio,
     "multimodal_video": multimodal_video,
     "image_phash_neardup": image_phash_neardup,
@@ -732,8 +761,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "multimodal_validate": SQL_MULTIMODAL_VALIDATE,
-    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_image": SQL_MULTIMODAL_IMAGE,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_video": SQL_MULTIMODAL_VIDEO,
     # values filled here because _values is defined below the SQL template

@@ -711,16 +711,31 @@ FROM (
 
 # --- distinct aggregate (beyond reference; standard warehouse surface) -----
 
-def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + exact-percentile profile per event_type (merged from
+    the former distinct_users + value_percentiles registry entries — same
+    grain and group key; one row per event_type keeps the driver's 8 KB
+    correctness file under budget without losing either operator's check).
+
+    Exact linear-interpolation percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`); the engine's metrics plane uses percentile_approx for
+    the same stat at unbounded cardinality."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
     )
 
 
-SQL_DISTINCT_USERS = """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+SQL_EVENTS_PROFILE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       min(value) AS vmin, max(value) AS vmax
 FROM events GROUP BY event_type
 """
 
@@ -749,30 +764,6 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
-# --- exact percentiles (the metrics-plane statistic, exact flavor) ---------
-
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    # exact linear-interpolation percentiles (Spark `percentile` ==
-    # DuckDB `quantile_cont`); the engine's metrics plane uses
-    # percentile_approx for the same stat at unbounded cardinality
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
-
-
-SQL_VALUE_PERCENTILES = """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       min(value) AS vmin, max(value) AS vmax
-FROM events GROUP BY event_type
-"""
-
-
 QUERIES = {
     "frontier_schedule": frontier_schedule,
     "seen_antijoin": seen_antijoin,
@@ -797,16 +788,14 @@ QUERIES = {
     "asof_join": asof_join,
     "stratified_sample": stratified_sample,
     "url_canonicalize": url_canonicalize,
-    "distinct_users": distinct_users,
+    "events_profile": events_profile,
     "status_rollup": status_rollup,
-    "value_percentiles": value_percentiles,
 }
 
 ORACLES = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
-    "distinct_users": SQL_DISTINCT_USERS,
+    "events_profile": SQL_EVENTS_PROFILE,
     "status_rollup": SQL_STATUS_ROLLUP,
-    "value_percentiles": SQL_VALUE_PERCENTILES,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "seen_antijoin": SQL_SEEN_ANTIJOIN,
     "enrich_join": SQL_ENRICH_JOIN,

@@ -445,14 +445,20 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 
 QUERIES = {
     "embed_cosine_topk": embed_cosine_topk,
-    "embed_neardup": embed_neardup,
     "embed_lsh_ann": embed_lsh_ann,
     "embed_ivf_ann": embed_ivf_ann,
 }
 
 ORACLES = {
     "embed_cosine_topk": SQL_EMBED_COSINE_TOPK,
-    "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_lsh_ann": SQL_EMBED_LSH_ANN,
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
 }
+
+# Local-only (scripts/check_parity.py + pytest, not the driver registry):
+# embed_neardup drives the identical brute-force path as embed_cosine_topk
+# (same _flat_dot / guard / repartition) and is the all-pairs form the
+# cardinality guard forbids at scale anyway; demoted to keep the driver's
+# 8 KB correctness file under budget.
+LOCAL_QUERIES = {"embed_neardup": embed_neardup}
+LOCAL_ORACLES = {"embed_neardup": SQL_EMBED_NEARDUP}

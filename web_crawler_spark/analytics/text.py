@@ -86,6 +86,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_count(text, '[.,;:!?]')").alias("n_punct"),
             F.expr("regexp_count(text, '[A-Z]')").alias("n_upper"),
             F.expr(f"size(filter({_WORDS}, w -> array_contains(array({en}), w)))").alias("n_stop"),
+            # token counting folded in (former text_tokens entry; same grain):
+            # whitespace tokens == n_words, BPE-ish regex tokens below
+            F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("bpe_tokens"),
         )
         .withColumn("avg_word_len", F.col("n_chars").cast("double") / F.col("n_words"))
         .withColumn("punct_ratio", F.col("n_punct").cast("double") / F.col("n_chars"))
@@ -103,7 +106,7 @@ SQL_TEXT_QUALITY = rf"""
 SELECT *,
        (stopword_ratio * 2.0 + punct_ratio * 1.0) - upper_ratio * 0.5 AS quality
 FROM (
-  SELECT doc_id, n_words, n_chars, n_punct, n_upper, n_stop,
+  SELECT doc_id, n_words, n_chars, n_punct, n_upper, n_stop, bpe_tokens,
          CAST(n_chars AS DOUBLE) / n_words AS avg_word_len,
          CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
          CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
@@ -114,29 +117,11 @@ FROM (
            length(text) AS n_chars,
            len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
            len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
-           {_sql_hits('en')} AS n_stop
+           {_sql_hits('en')} AS n_stop,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens
     FROM documents
   )
 )
-"""
-
-
-def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.expr(f"size({_WORDS})").alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("bpe_tokens"),
-        F.length("text").alias("n_chars"),
-    )
-
-
-SQL_TEXT_TOKENS = rf"""
-SELECT doc_id,
-       len({SQL_WORDS}) AS ws_tokens,
-       len(regexp_extract_all(text, '{BPE_RE}')) AS bpe_tokens,
-       length(text) AS n_chars
-FROM documents
 """
 
 
@@ -218,6 +203,9 @@ def corpus_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_count(text, '[.,;:!?]')").alias("n_punct"),
             F.expr("regexp_count(text, '[A-Z]')").alias("n_upper"),
             F.expr(f"size(filter({_WORDS}, w -> array_contains(array({en}), w)))").alias("n_stop"),
+            # token counting folded in (former text_tokens entry; same grain):
+            # whitespace tokens == n_words, BPE-ish regex tokens below
+            F.regexp_count(F.col("text"), F.lit(BPE_RE)).alias("bpe_tokens"),
         )
         .withColumn(
             "quality",
@@ -289,15 +277,11 @@ FROM verdict
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
-    "text_tokens": text_tokens,
-    "text_fingerprint": text_fingerprint,
     "corpus_retention": corpus_retention,
 }
 
 ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
-    "text_tokens": SQL_TEXT_TOKENS,
-    "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "corpus_retention": SQL_CORPUS_RETENTION,
 }
