@@ -364,6 +364,14 @@ def _sql_text_fingerprint_sig() -> str:
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output contract: pairs (doc_a < doc_b, hamming <= HAMMING_T) whose
+    simhashes share at least one of the 4 16-bit blocks. The block-share
+    candidate rule is COMPLETE only for hamming <= 3 (pigeonhole); above
+    that it is a recall-bounded LSH band — same trade as MinHash banding —
+    so pairs at distance 4..HAMMING_T that differ in all four blocks are
+    (deterministically, in both engines) not reported. For a complete rule
+    at a wider threshold see the 28 byte-pair multi-index used by
+    image_phash_neardup (multimodal.py)."""
     # the signature plan feeds the candidate join AND both pair sides: eager
     # localCheckpoint materializes it once and its blocks are freed on GC
     # (a bare .persist() here accumulated cached blocks across calls in a

@@ -320,12 +320,15 @@ FROM ranked WHERE rnk <= {TFIDF_TOPK} ORDER BY doc_id, rnk
 # is not oracle-pairable. The true exact count rides along in the same row
 # as the verification baseline.
 #
-# Scale shape: the k smallest hashes come from orderBy+limit — Spark executes
-# that as TakeOrdered: each partition keeps its local k minima and the driver
-# merges k-sized heaps. That IS the KMV merge operator (sketch union =
-# k smallest of the concatenation), so the plan never shuffles the data and
-# holds at 10^10 keys; the exact countDistinct baseline alongside is the
-# only full shuffle in the plan and exists purely to report sketch error.
+# Scale shape: KMV keeps the k smallest DISTINCT hashes (duplicate keys must
+# not occupy sketch slots, or the estimate biases low and the streaming
+# twin's set-based state diverges). distinct() is one hash shuffle whose map
+# side dedupes (partial aggregate), then orderBy+limit executes as
+# TakeOrdered: each partition keeps its local k minima and the driver merges
+# k-sized heaps — that IS the KMV merge operator (sketch union = k smallest
+# of the concatenation). At 10^10 keys the dedup shuffle is the inherent
+# cost of exact distinct semantics; the exact countDistinct baseline
+# alongside exists purely to report sketch error.
 
 KMV_K = 64
 KMV_SPACE = 1 << 48  # 12 hex digits of md5: (k-1)*2^48 stays far below 2^63
@@ -339,7 +342,8 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("h")
     )
     kth = (
-        hashes.orderBy("h")
+        hashes.distinct()
+        .orderBy("h")
         .limit(KMV_K)
         .agg(F.max("h").alias("kth_min"), F.count("*").alias("k_seen"))
     )
@@ -362,7 +366,7 @@ WITH hashes AS (
   FROM events
 ), kth AS (
   SELECT max(h) AS kth_min, count(*) AS k_seen
-  FROM (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K})
+  FROM (SELECT DISTINCT h FROM hashes ORDER BY h LIMIT {KMV_K})
 ), exact AS (
   SELECT count(DISTINCT event_id) AS true_distinct FROM events
 )

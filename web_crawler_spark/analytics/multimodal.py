@@ -325,6 +325,31 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 VARIANT_EVERY = 4  # every 4th base image gets a planted near-duplicate variant
 IMG_HAMMING_T = 6  # max phash Hamming distance for a near-dup pair
 
+# Manku-style multi-index: split the 64-bit phash into 8 bytes and index every
+# C(8,2)=28 byte-PAIR as a 16-bit key. Pigeonhole: <= IMG_HAMMING_T (6)
+# differing bits touch at most 6 of the 8 bytes, leaving >= 2 clean bytes
+# whose pair the two hashes share — so the candidate rule is COMPLETE for the
+# advertised threshold (the old 4x16-bit scheme was only complete for <= 3).
+# The 16-bit key width keeps per-bucket sizes identical to the old scheme at
+# any corpus size; the cost is 28 exploded rows per image instead of 4.
+_PH_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+
+
+def _pair_blocks(df: DataFrame, idcol: str, phcol: str) -> DataFrame:
+    structs = [
+        F.struct(
+            F.lit(k).alias("k"),
+            (
+                F.shiftrightunsigned(phcol, 8 * i).bitwiseAND(F.lit(0xFF)) * 256
+                + F.shiftrightunsigned(phcol, 8 * j).bitwiseAND(F.lit(0xFF))
+            ).alias("blk"),
+        )
+        for k, (i, j) in enumerate(_PH_PAIRS)
+    ]
+    return df.select(idcol, F.explode(F.array(*structs)).alias("kb")).select(
+        idcol, F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk")
+    )
+
 
 def _images_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Images table plus planted near-duplicate variants (``img-{id}-v`` with
@@ -350,33 +375,18 @@ def _images_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance, found the way a
     10^10-image corpus has to: the 64-bit phash METADATA column (computed once
-    at ingest — no decode in this query) is split into 4 16-bit blocks;
-    candidates share at least one block (guaranteed complete for Hamming <= 3,
-    same candidate rule in the oracle so both engines see identical pairs);
-    the exact bit_count(xor) verify runs on candidates only. All flat codegen
-    expressions, one shuffle for the block self-join — the simhash 4-block
-    architecture (dedup.py) applied to the image payload axis."""
+    at ingest — no decode in this query) is indexed by all 28 byte-pair
+    16-bit keys (see _PH_PAIRS: complete for Hamming <= 7, covering the
+    <= {IMG_HAMMING_T} threshold; same candidate rule in the oracle so both
+    engines see identical pairs); the exact bit_count(xor) verify runs on
+    candidates only. All flat codegen expressions, one shuffle for the
+    block self-join."""
     sig = (
         _images_with_variants(spark, sf_dir)
         .select("image_id", "phash")
         .localCheckpoint(eager=True)  # feeds blocks + both pair sides once
     )
-    blocks = sig.select(
-        "image_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftrightunsigned("phash", 16 * k)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("blk"),
-                    )
-                    for k in range(4)
-                ]
-            )
-        ).alias("kb"),
-    ).select("image_id", F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk"))
+    blocks = _pair_blocks(sig, "image_id", "phash")
     cand = (
         blocks.select(F.col("image_id").alias("img_a"), "k", "blk")
         .join(blocks.select(F.col("image_id").alias("img_b"), "k", "blk"), ["k", "blk"])
@@ -397,7 +407,7 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IMG_DECON_MOD = 10  # base image ids with n % MOD == 0 form the benchmark set
 
-# 16-bit block k of a signed int64 phash, as logical shift via HUGEINT
+# byte i of a signed int64 phash, as logical shift via HUGEINT
 _SQL_U64 = (
     "(CAST(phash AS HUGEINT) + CASE WHEN phash < 0 "
     "THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
@@ -407,7 +417,7 @@ _SQL_U64 = (
 def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side benchmark decontamination: flag training images within
     phash Hamming <= IMG_HAMMING_T of ANY held-out benchmark image — the
-    multimodal twin of `corpus_decontaminate`. Same 4x16-bit block-bucket
+    multimodal twin of `corpus_decontaminate`. Same byte-pair block-bucket
     candidate rule as image_phash_neardup (complete for the threshold), so
     the probe is a bounded equi-join against the (small, broadcastable at
     scale) benchmark block table — never an all-pairs scan. The planted
@@ -425,27 +435,12 @@ def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = sig.filter(~is_bench)
 
-    def _blocks(df, idcol: str, phcol: str):
-        return df.select(
-            idcol,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(k).alias("k"),
-                            F.shiftrightunsigned(phcol, 16 * k)
-                            .bitwiseAND(F.lit(0xFFFF))
-                            .alias("blk"),
-                        )
-                        for k in range(4)
-                    ]
-                )
-            ).alias("kb"),
-        ).select(idcol, F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk"))
-
     cand = (
-        _blocks(train, "image_id", "phash")
-        .join(_blocks(bench.withColumnRenamed("bph", "phash"), "bench_id", "phash"), ["k", "blk"])
+        _pair_blocks(train, "image_id", "phash")
+        .join(
+            _pair_blocks(bench.withColumnRenamed("bph", "phash"), "bench_id", "phash"),
+            ["k", "blk"],
+        )
         .select("image_id", "bench_id")
         .distinct()
     )
@@ -487,16 +482,28 @@ train AS (
   SELECT * FROM ph WHERE image_id NOT IN (SELECT bench_id FROM bench)
 ),
 tblk AS (
-  SELECT image_id, k,
-         CAST(({_SQL_U64} // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
-  FROM train, (SELECT unnest(generate_series(0, 3)) AS k)
+  SELECT image_id, i * 8 + j AS k,
+         CAST((({_SQL_U64} // (CAST(1 AS HUGEINT) << (8 * i))) % 256) * 256
+            + (({_SQL_U64} // (CAST(1 AS HUGEINT) << (8 * j))) % 256) AS BIGINT) AS blk
+  FROM train, (SELECT i, j
+               FROM (SELECT unnest(generate_series(0, 7)) AS i),
+                    (SELECT unnest(generate_series(0, 7)) AS j)
+               WHERE i < j)
+),
+bu AS (
+  SELECT bench_id,
+         (CAST(bph AS HUGEINT) + CASE WHEN bph < 0
+          THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS u64
+  FROM bench
 ),
 bblk AS (
-  SELECT bench_id, k,
-         CAST(((CAST(bph AS HUGEINT) + CASE WHEN bph < 0
-                THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
-               // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
-  FROM bench, (SELECT unnest(generate_series(0, 3)) AS k)
+  SELECT bench_id, i * 8 + j AS k,
+         CAST(((u64 // (CAST(1 AS HUGEINT) << (8 * i))) % 256) * 256
+            + ((u64 // (CAST(1 AS HUGEINT) << (8 * j))) % 256) AS BIGINT) AS blk
+  FROM bu, (SELECT i, j
+            FROM (SELECT unnest(generate_series(0, 7)) AS i),
+                 (SELECT unnest(generate_series(0, 7)) AS j)
+            WHERE i < j)
 ),
 cand AS (
   SELECT DISTINCT t.image_id, b.bench_id
@@ -540,9 +547,13 @@ ids AS (
 ),
 ph AS (SELECT image_id, phash FROM ids JOIN expected USING (image_id)),
 blk AS (
-  SELECT image_id, k,
-         CAST(({_SQL_U64} // (CAST(1 AS HUGEINT) << (16 * k))) % 65536 AS BIGINT) AS blk
-  FROM ph, (SELECT unnest(generate_series(0, 3)) AS k)
+  SELECT image_id, i * 8 + j AS k,
+         CAST((({_SQL_U64} // (CAST(1 AS HUGEINT) << (8 * i))) % 256) * 256
+            + (({_SQL_U64} // (CAST(1 AS HUGEINT) << (8 * j))) % 256) AS BIGINT) AS blk
+  FROM ph, (SELECT i, j
+            FROM (SELECT unnest(generate_series(0, 7)) AS i),
+                 (SELECT unnest(generate_series(0, 7)) AS j)
+            WHERE i < j)
 ),
 cand AS (
   SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b

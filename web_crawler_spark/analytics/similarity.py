@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from .common import table
 
 DIM = 64
+_QSCALE = 1024  # fixed-point scale: integer sums are associative-exact in both engines
 N_QUERIES = 32
 TOP_K = 5
 NEARDUP_T = 0.35
@@ -169,10 +170,10 @@ WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= {N
 # interpreted fold (51M md5s at 20k vectors); as literals the signature stage
 # is a flat codegen projection. int(hex,16) < 2^32 is exact in a double, so
 # the literal equals Spark's conv()-cast and DuckDB's CAST('0x'||..) exactly.
-def _plane_const(g: int, i: int) -> float:
+def _plane_const(g: int, i: int) -> int:
     import hashlib
 
-    return float(int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:8], 16) - 2147483648)
+    return int(hashlib.md5(f"{g}|{i}".encode()).hexdigest()[:8], 16) - 2147483648
 
 N_TABLES = 8  # multi-table LSH: L independent tables of N_PLANES bits each.
 # A single B-bit table only surfaces neighbors agreeing on ALL B bits —
@@ -200,24 +201,28 @@ def _signature_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     position's 40 plane matches as the positions stream in order, so each
     (vec, plane) partial sum accumulates in position order — the same
     left-to-right fold as the DuckDB oracle. (Caveat: that ordering relies on
-    hash-agg in-stream accumulation; a sort-based agg spill could reorder a
-    sum, which would only perturb a SIGNATURE bit near a zero dot — candidate
-    quality, never result exactness, since the rerank recomputes exact
-    cosine.) At 10^10 vectors both shuffles carry n·planes pre-aggregated
-    rows — linear, uniform keys."""
+    position order.) The per-plane sums are fixed-point integers — components
+    quantized by _QSCALE (a power of two, so float->int is exact in both
+    engines), plane constants already integral — so the sum is associative-
+    exact: no accumulation order, hash-vs-sort aggregate choice, or spill can
+    flip a sign bit near zero (|term| < 2^42, DIM terms, far inside int64).
+    At 10^10 vectors both shuffles carry n·planes pre-aggregated rows —
+    linear, uniform keys."""
     consts = spark.createDataFrame(
         [
             (i, g, _plane_const(g, i + 1))
             for g in range(N_TABLES * N_PLANES)
             for i in range(DIM)
         ],
-        "pos int, g int, c double",
+        "pos int, g int, c long",
     )
-    comp = e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("xq", F.expr(f"cast(floor(cast(x as double) * {_QSCALE}) as bigint)"))
     dots = (
         comp.join(F.broadcast(consts), "pos")
         .groupBy("vec_id", "g")
-        .agg(F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"))
+        .agg(F.sum(F.col("xq") * F.col("c")).alias("dot"))
     )
     return (
         dots.select(
@@ -238,11 +243,11 @@ def _sql_bucket_expr(t: int) -> str:
         g = t * N_PLANES + p
         comp = (
             f"(CAST(('0x' || substring(md5('{g}' || '|' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
-            " - 2147483648.0)"
+            " - 2147483648)"
         )
         dot = (
-            f"list_sum([CAST(embedding[i] AS DOUBLE) * {comp} "
-            f"FOR i IN generate_series(1, {DIM})])"
+            f"list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * {_QSCALE}) AS BIGINT)"
+            f" * {comp} FOR i IN generate_series(1, {DIM})])"
         )
         bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(bits)
@@ -309,7 +314,6 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 
 N_CENTROIDS = 8  # coarse-quantizer cells
 NPROBE = 2       # cells searched per query (recall/cost knob)
-_QSCALE = 1024   # fixed-point scale for the exact-integer centroid update
 
 
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,8 +1,8 @@
 """Streaming KMV cardinality sketch: distinct-count estimation as
 continuously-maintained state.
 
-Batch twin: ``analytics/graph.py::approx_distinct_kmv`` (k smallest 48-bit
-md5 hashes; estimate = (k-1)*2^48 DIV kth_min). The streaming form shards
+Batch twin: ``analytics/graph.py::approx_distinct_kmv`` (k smallest DISTINCT
+48-bit md5 hashes; estimate = (k-1)*2^48 DIV kth_min). The streaming form shards
 keys by hash bucket and keeps each shard's k minima as
 ``applyInPandasWithState`` state — the global k minima are always contained
 in the union of per-shard k minima (any of the k smallest overall is among
@@ -102,6 +102,8 @@ def merge_shard_minima(rows) -> dict:
     the batch TakeOrdered merge). Returns the same fields as the batch
     query minus the exact baseline."""
     allm = sorted({m for r in rows for m in r})[:KMV_K]
+    if not allm:
+        return {"k": KMV_K, "k_seen": 0, "kth_min": None, "est_distinct": 0}
     kth = allm[-1]
     return {
         "k": KMV_K,
