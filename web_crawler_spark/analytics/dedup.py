@@ -140,16 +140,18 @@ FROM documents GROUP BY 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     # drop boilerplate shingles (df > cap) BEFORE the self-join: the hot set
-    # is tiny by definition (≤ total_occurrences/cap shingles), so the
-    # anti-join broadcasts it; Jaccard is then over discriminative shingles
-    # only, identically on both engines
+    # is bounded by total_occurrences/cap shingles, but that bound still
+    # grows with the corpus, so no broadcast hint — AQE broadcasts the
+    # anti-join side while it is small and shuffles on the shingle key once
+    # it is not; Jaccard is then over discriminative shingles only,
+    # identically on both engines
     hot = (
         sh.groupBy("sh")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") > SHINGLE_DF_CAP)
         .select("sh")
     )
-    kept = sh.join(F.broadcast(hot), "sh", "left_anti")
+    kept = sh.join(hot, "sh", "left_anti")
     pairs = _jaccard_pairs(kept)
     return pairs.filter(F.col("jaccard") >= JACCARD_T).select(
         "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"

@@ -256,8 +256,12 @@ FROM cum GROUP BY bin_id ORDER BY bin_id
 # top-3 a set, not a race.
 #
 # Scale shape: explode -> two hash aggregations (tf on (doc, term), df on
-# term, both map-side partial) -> broadcast the tiny df/ndocs sides -> a
-# per-document window (naturally partitioned — no global window). High-df
+# term, both map-side partial) -> join tf x df on term -> a per-document
+# window (naturally partitioned — no global window). The per-term df table
+# grows with the corpus vocabulary, so it carries NO broadcast hint: AQE
+# broadcasts it while it is small and falls back to a shuffle join on the
+# uniform term key once it is not. Only the 1-row n_docs side is hinted.
+# High-df
 # boilerplate terms score near 0 and never enter the top-3, so no skew
 # pathologies from stopwords.
 
@@ -274,7 +278,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     ndocs = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn("score", F.expr("(tf * n_docs * 1000) DIV df"))
     )

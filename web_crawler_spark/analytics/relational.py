@@ -97,9 +97,10 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    # customer is the reference's `users` side: small, broadcast (database.py:316-322)
+    # customer is the reference's `users` side (database.py:316-322) but it
+    # scales with the dataset: no broadcast hint, AQE broadcasts while small
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
         .filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
     )
@@ -413,7 +414,10 @@ def ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == F.col("c_custkey"))
+        # customer scales with the dataset (unlike nation/region): no
+        # broadcast hint — AQE broadcasts the filtered side while it fits
+        # and shuffles on the uniform custkey once it does not
+        .join(c.filter(F.col("c_mktsegment") == "BUILDING"), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum_expr(revenue, "revenue"))
         .select(
@@ -454,7 +458,7 @@ def region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # data-scaling side: AQE decides
         .join(dims, c.c_nationkey == F.col("n_nationkey"))
         .groupBy("r_name", "n_name")
         .agg(dsum_expr(revenue, "revenue"), F.count("*").alias("n_items"))
