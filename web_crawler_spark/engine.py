@@ -380,6 +380,7 @@ def crawl(
         rnd += 1
         tm = _Timer(rnd)
         adm = tables["admissions"].read(spark, schema=FRONTIER_SCHEMA)
+        tm.mark("adm_read")
         if adm is None:
             break
         if frontier_mode == "derived":
@@ -470,6 +471,7 @@ def crawl(
             )
 
             seen_df = run.read(spark, "seen")
+            tm.mark("seen_read")
             if use_bloom:
                 bloom = _build_bloom(seen_df, seen_count)
                 bcast = spark.sparkContext.broadcast(bloom.to_bytes())
@@ -530,6 +532,7 @@ def crawl(
                     )
                 else:
                     ranked = global_rank(new_urls, ["parent_seq", "link_idx"], "_adm")
+                tm.mark("rank_build")
                 admitted = (
                     ranked.filter(F.col("_adm") <= n_admit_room)
                     .withColumn("seq", F.lit(next_seq) + F.col("_adm") - 1)
