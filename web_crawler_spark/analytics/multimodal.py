@@ -45,6 +45,15 @@ from .common import table
 N_IMAGES = 200  # images synthesized per run (first N doc_ids)
 
 
+def _gen_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Decode-stage parallelism for the synthetic media generators: the
+    session's configured shuffle parallelism, capped so no task is empty.
+    Derived from config rather than a literal so pointing the generators at a
+    real id column scales the mapInPandas stage with the cluster."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
+    return max(1, min(shuffle, n_rows))
+
+
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic images table keyed on doc_id — exact input_hint shape."""
     ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_IMAGES)
@@ -58,7 +67,7 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
 
-    return ids.repartition(8, "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
+    return ids.repartition(_gen_partitions(spark, N_IMAGES), "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def multimodal_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +170,7 @@ def _audios(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [audiocodec.audio_row(f"aud-{doc_id}", seed=42) for doc_id in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA.fields])
 
-    return ids.repartition(8, "doc_id").mapInPandas(gen, AUDIO_SCHEMA)
+    return ids.repartition(_gen_partitions(spark, N_AUDIO), "doc_id").mapInPandas(gen, AUDIO_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -245,7 +254,7 @@ def _videos(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [videocodec.video_row(f"vid-{doc_id}", seed=42) for doc_id in pdf["doc_id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
-    return ids.repartition(8, "doc_id").mapInPandas(gen, VIDEO_SCHEMA)
+    return ids.repartition(_gen_partitions(spark, N_VIDEO), "doc_id").mapInPandas(gen, VIDEO_SCHEMA)
 
 
 VIDEO_FEATURES_SCHEMA = T.StructType(
@@ -369,7 +378,7 @@ def _images_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append(v)
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
 
-    return ids.repartition(8, "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
+    return ids.repartition(_gen_partitions(spark, N_IMAGES), "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
