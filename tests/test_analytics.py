@@ -90,3 +90,23 @@ def test_entry_contract(spark):
     q, o = E.queries(), E.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 25
+
+
+def test_star_labels_long_chain(spark):
+    """Large-star/small-star connected components on the shapes plain
+    min-label propagation handles worst: a 64-node chain (diameter 63 —
+    O(diameter) algorithms need 63 rounds; the star alternation must stay
+    within its O(log n) bound), plus a triangle, a pair, and an isolated
+    self-pair."""
+    from web_crawler_spark.analytics.dedup import _star_labels
+
+    chain = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(63)]
+    extra = [("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("p8", "p9"), ("z5", "z5")]
+    edges = spark.createDataFrame(chain + extra, ["doc_a", "doc_b"])
+    got = {r["doc"]: r["label"] for r in _star_labels(edges).collect()}
+
+    assert len(got) == 64 + 3 + 2 + 1
+    assert all(got[f"c{i:03d}"] == "c000" for i in range(64))
+    assert got["t1"] == got["t2"] == got["t3"] == "t1"
+    assert got["p8"] == got["p9"] == "p8"
+    assert got["z5"] == "z5"  # self-pair: own singleton component

@@ -436,44 +436,90 @@ WHERE bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
 # 5. duplicate clusters: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
 
+def _star_labels(edges: DataFrame) -> DataFrame:
+    """Connected-component labels via large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds independent of component
+    DIAMETER, where plain min-label propagation needs O(diameter) rounds —
+    the difference between 3 and 40 shuffles on the long chains transitive
+    near-dup graphs produce at corpus scale.
+
+    `edges` is the undirected pair set as (doc_a, doc_b) rows, one row per
+    pair in either orientation. Returns (doc, label) with label = the
+    lexicographic minimum of each component. Each half-round is one
+    hash-shuffle on the grouping node plus a distinct; convergence is
+    detected by an order-insensitive (count, xxhash64-sum) checksum of the
+    canonicalized edge set — a single cheap aggregate, no edge-vs-edge
+    anti-join per round.
+    """
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .unionByName(edges.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical directed form: u = max endpoint, v = min endpoint
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"), F.least("doc_a", "doc_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(64):  # backstop far above the O(log n) bound
+        # bit_xor: order-insensitive and overflow-free (edges are distinct,
+        # so xor-cancellation of duplicates can't occur)
+        sig_row = e.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig or sig[0] == 0:
+            break
+        prev_sig = sig
+        # large-star: group the symmetrized graph by u; m = min(N(u) ∪ {u});
+        # re-link every strictly larger neighbor to m
+        und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+        lg = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: group by the larger endpoint; m = min neighbor; re-link
+        # the smaller neighbors and u itself to m
+        cano = lg.filter(F.col("u") != F.col("v")).distinct()
+        smins = cano.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            cano.join(smins, "u")
+            .select(F.col("v").alias("n"), "m")
+            .unionByName(smins.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = sm
+    # fixpoint is a star per component: (node -> component min); minima have
+    # no outgoing edge, so they label themselves
+    stars = e.groupBy(F.col("u").alias("doc")).agg(F.min("v").alias("star"))
+    return nodes.join(stars, "doc", "left").select(
+        "doc", F.coalesce("star", "doc").alias("label")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicates into clusters (one keeper per component): the
     step a real dedup pipeline runs after pair detection.
 
-    Iterative min-label propagation — the standard hash-partitioned-join
-    connected-components for graphs too large for one machine; converges in
-    O(component diameter) rounds. The DuckDB oracle is a recursive CTE over
-    the same pair set.
+    Components come from large-star/small-star alternation (`_star_labels`),
+    the O(log n)-round MapReduce connected-components — replacing the earlier
+    min-label propagation whose round count grew with component diameter.
+    The DuckDB oracle is a recursive CTE over the same pair set.
     """
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = edges.select(F.col("doc_a").alias("doc")).distinct().withColumn(
-        "label", F.col("doc")
-    ).localCheckpoint(eager=True)
-    while True:
-        neigh = (
-            edges.join(labels, edges.doc_a == labels.doc)
-            .groupBy(F.col("doc_b").alias("doc"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # carry the old label through the SAME join that computes the update,
-        # so the convergence check is a filter+count over the materialized
-        # result — no second label-vs-label join per iteration
-        upd = (
-            labels.join(neigh, "doc", "left")
-            .select(
-                "doc",
-                F.col("label").alias("_old"),
-                F.least("label", F.coalesce("nlabel", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = upd.filter(F.col("label") != F.col("_old")).count()
-        labels = upd.select("doc", "label")
-        if changed == 0:
-            break
+    labels = _star_labels(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
