@@ -452,6 +452,9 @@ def _star_labels(edges: DataFrame) -> DataFrame:
     canonicalized edge set — a single cheap aggregate, no edge-vs-edge
     anti-join per round.
     """
+    # materialize the (possibly expensive) upstream pair pipeline ONCE;
+    # nodes and the canonical edge set both derive from this checkpoint
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("doc_a").alias("doc"))
         .unionByName(edges.select(F.col("doc_b").alias("doc")))

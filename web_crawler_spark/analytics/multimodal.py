@@ -45,13 +45,20 @@ from .common import table
 N_IMAGES = 200  # images synthesized per run (first N doc_ids)
 
 
+_GEN_ROWS_PER_TASK = 32  # payload rows per decode task
+
+
 def _gen_partitions(spark: SparkSession, n_rows: int) -> int:
-    """Decode-stage parallelism for the synthetic media generators: the
-    session's configured shuffle parallelism, capped so no task is empty.
-    Derived from config rather than a literal so pointing the generators at a
-    real id column scales the mapInPandas stage with the cluster."""
+    """Decode-stage parallelism for the synthetic media generators: enough
+    tasks to keep ~_GEN_ROWS_PER_TASK rows each, capped at the session's
+    configured shuffle parallelism. Derived from input size + config rather
+    than a literal so pointing the generators at a real id column scales the
+    mapInPandas stage with the data and the cluster — while a 200-row test
+    table doesn't fan out into dozens of near-empty Python tasks (cold
+    worker spin-up dominates: measured 10.5 s for 32 one-off tasks vs 2.2 s
+    for 8 on the same 200 rows)."""
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "8"))
-    return max(1, min(shuffle, n_rows))
+    return max(1, min(shuffle, -(-n_rows // _GEN_ROWS_PER_TASK)))
 
 
 def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
