@@ -385,7 +385,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_base_price"),
             dsum_expr(disc_price, "sum_disc_price"),
             dsum_expr(charge, "sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.round(F.col("l_quantity") * F.lit(1e6), 0).cast("long")).cast("double") / F.lit(1e6) / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -397,7 +397,7 @@ SELECT l_returnflag, l_linestatus,
        {sql_dsum('l_extendedprice', 'sum_base_price')},
        {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
        {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 / count(*) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-01'

@@ -51,7 +51,7 @@ def rollup_stream(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * F.lit(1e6), 0).cast("long")).cast("double") / F.lit(1e6)).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -84,7 +84,7 @@ def session_stream(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,10)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * F.lit(1e6), 0).cast("long")).cast("double") / F.lit(1e6)).alias("total_value"),
         )
         .select(
             "user_id",
