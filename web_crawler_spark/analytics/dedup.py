@@ -152,6 +152,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sh")
     )
     kept = sh.join(hot, "sh", "left_anti")
+    # measured A/B at sf1 (local[32], min-of-2): this self-join 23.8 s vs an
+    # inverted-index rewrite (collect_list posting lists + nested-lambda pair
+    # expansion) 82.8 s — the higher-order-function expansion runs outside
+    # whole-stage codegen and loses 3.5x despite one fewer shuffle, so the
+    # join stays
     pairs = _jaccard_pairs(kept)
     return pairs.filter(F.col("jaccard") >= JACCARD_T).select(
         "doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard"
