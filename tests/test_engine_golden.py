@@ -244,3 +244,30 @@ def test_engine_resume_after_compaction(spark, tmp_path, golden):
     assert run1.rounds == 3
     run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
     assert_matches_oracle(spark, run2, golden)
+
+
+# Varied-shape golden equality: the fixed t1 web above pins one topology; these
+# re-derive web + robots + oracle from scratch at other seeds, fanouts, skews,
+# and job limits, so the north-rule gate (ordering + seen set) is not
+# overfitted to a single fixture. Each web is tiny (~100-300 URLs) to keep the
+# four engine runs test-suite cheap.
+VARIED = [
+    (dict(n_sites=1, subdomains=("",), base_pages=40, skew=0.0, mean_outlinks=5, seed=7),
+     dict(max_pages=30, max_depth=4)),
+    (dict(n_sites=3, subdomains=("", "docs."), base_pages=48, skew=0.6, mean_outlinks=12, seed=101),
+     dict(max_pages=80, max_depth=2)),
+    (dict(n_sites=2, subdomains=("", "docs."), base_pages=32, skew=0.3, mean_outlinks=3, seed=999),
+     dict(max_pages=50, max_depth=6)),
+    (dict(n_sites=1, subdomains=("", "docs."), base_pages=90, skew=0.9, mean_outlinks=20, seed=5),
+     dict(max_pages=60, max_depth=3)),
+]
+
+
+@pytest.mark.parametrize("web_kw,job_kw", VARIED)
+def test_engine_matches_oracle_varied_webs(spark, tmp_path, web_kw, job_kw):
+    cfg = webgen.make_config(**web_kw)
+    rules = rules_by_host(generate_rules(cfg))
+    job = JobConfig(job_id=9, start_url="http://site0.test/p/0", delay=0.0, **job_kw)
+    res = oracle.simulate(job, cfg, rules)
+    run = engine.crawl(spark, job, cfg, rules, str(tmp_path / "run"))
+    assert_matches_oracle(spark, run, res)
