@@ -69,27 +69,36 @@ shcount AS (SELECT doc_id, count(*) AS n_sh FROM shingle GROUP BY doc_id)
 """
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _raw_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, sh) WITHOUT per-doc dedup — one row per occurrence.
+
+    Duplicate-insensitive consumers (the minhash ``min`` aggregation) read
+    this directly and skip the dedup exchange entirely: partial aggregation
+    collapses the shuffle to one row per doc per map partition, while
+    ``dropDuplicates`` would shuffle one row per distinct (doc_id, sh) — the
+    largest exchange in the LSH plan at corpus scale.
+    """
     # split once into a column, index with getItem (cheaper than slice+concat
-    # inside the lambda), dedup after the explode (dropDuplicates partial-
-    # aggregates map-side; array_distinct ran interpreted over every array)
+    # inside the lambda)
     d = table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.expr(_WORDS).alias("w"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("w") >= 3,
-                    F.expr(
-                        "transform(sequence(1, size(w) - 2), "
-                        "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("sh"),
-        )
-        .dropDuplicates(["doc_id", "sh"])
+    return d.select("doc_id", F.expr(_WORDS).alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("w") >= 3,
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), "
+                    "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("sh"),
     )
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup after the explode (dropDuplicates partial-aggregates map-side;
+    # array_distinct ran interpreted over every array)
+    return _raw_shingles_df(spark, sf_dir).dropDuplicates(["doc_id", "sh"])
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -190,10 +199,14 @@ WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= {JACCARD_T}
 # ---------------------------------------------------------------------------
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
+    # min() is duplicate-insensitive, so the signature pass reads the RAW
+    # occurrence stream — no dropDuplicates exchange on the full shingle
+    # table; per-doc dedup applies only to the candidate-restricted verify
+    # side below, where the semi-join has already shrunk the input
+    raw = _raw_shingles_df(spark, sf_dir)
     # all 16 permutation minhashes in ONE grouped pass (16 partial-aggregated
     # min columns) — a seed crossJoin would multiply the shuffle ×16
-    mh = sh.groupBy("doc_id").agg(
+    mh = raw.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("sh")))).alias(f"mh{i}")
             for i in range(N_HASHES)
@@ -226,7 +239,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH: the quadratic shingle self-join runs on the (tiny) candidate doc
     # set, not the corpus
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi")
+    # dedup AFTER the semi-join restriction: the exchange now carries only
+    # candidate docs' shingles, not the corpus's
+    sh_cand = raw.join(cand_docs, "doc_id", "left_semi").dropDuplicates(["doc_id", "sh"])
     exact = _jaccard_pairs(sh_cand).select("doc_a", "doc_b", "jaccard")
     return (
         cand.join(exact, ["doc_a", "doc_b"])
