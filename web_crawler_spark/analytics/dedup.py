@@ -5,14 +5,16 @@ Four tiers, each a (Spark plan, DuckDB oracle) pair:
 - exact:        md5-fingerprint group-by (hash dedup)
 - ngram_jaccard: word-3-gram shingle sets, all-pairs Jaccard via a shingle
                  self-join (the exact baseline the approximate tiers bound)
-- minhash_lsh:  16 md5-permutation minhashes -> 8 bands x 2 rows ->
-                 band-bucket join for candidates -> exact-Jaccard verify
+- minhash_lsh:  one md5 per shingle -> 16 linear-mix minhashes (2-universal
+                 (a·h+b) mod 2³¹−1) -> 8 bands x 2 rows -> band-bucket join
+                 for candidates -> exact-Jaccard verify
 - simhash:      64-bit simhash (token-frequency-weighted md5 bits) stored as
                  4x16-bit blocks; candidates share >=1 block; Hamming filter
 
-All hashing is md5-based so the DuckDB oracle reproduces the Spark plan
-bit-for-bit (lexicographic min over md5 hex == a uniform permutation minhash).
-Everything stays JVM-side in Spark — no Python UDFs anywhere.
+All hashing is anchored on md5 (the one hash both engines share) so the
+DuckDB oracle reproduces the Spark plan bit-for-bit; permutation variety
+comes from integer linear mixes over the md5 prefix, which both engines
+compute exactly. Everything stays JVM-side in Spark — no Python UDFs anywhere.
 
 Scale notes: the shingle self-join is the classic quadratic trap; LSH bounds
 it (candidates only within band buckets). On 100 TB the band join shuffles on
@@ -32,6 +34,34 @@ N_BANDS = 8
 ROWS_PER_BAND = 2
 JACCARD_T = 0.5
 HAMMING_T = 12
+# MinHash permutation family: ONE md5 per shingle (60-bit hex prefix →
+# bigint), then 16 independent 2-universal mixes h_i = (a_i·h + b_i) mod P,
+# P = 2³¹−1. The earlier family hashed md5(f"{i}|{sh}") per permutation —
+# 16 digest+concat evaluations per shingle occurrence, which was the whole
+# signature-stage cost at sf1. Integer mixes are a handful of codegen'd ALU
+# ops, and both engines compute them bit-identically (a·h ≤ 2⁶² < 2⁶³, no
+# overflow in Spark's wrapping or DuckDB's checked arithmetic). Constants
+# are frozen md5-derived literals — NOT i-scaled multiples, which would make
+# the 16 permutations linearly correlated.
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne)
+MINHASH_AB = [
+    (1068891943, 413478069),
+    (91269520, 15321956),
+    (1414341937, 220219746),
+    (682647738, 1189979629),
+    (868057270, 54622447),
+    (1655835461, 795531326),
+    (1087312201, 1190882553),
+    (524033553, 1866570872),
+    (442657709, 603067618),
+    (2050705027, 2136323970),
+    (750145709, 1877635934),
+    (1056767046, 957254510),
+    (1769075051, 1916162238),
+    (468409398, 1950047633),
+    (947226201, 786722141),
+    (1444797614, 1092025344),
+]
 # document-frequency cap for the exact n-gram tier: a shingle present in more
 # than this many documents is boilerplate — it contributes candidate pairs
 # quadratically (df² rows out of the self-join) but no discrimination. One
@@ -204,12 +234,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table; per-doc dedup applies only to the candidate-restricted verify
     # side below, where the semi-join has already shrunk the input
     raw = _raw_shingles_df(spark, sf_dir)
+    # one md5 per occurrence, reduced to the 31-bit mix domain
+    hashed = raw.select(
+        "doc_id",
+        F.expr(
+            f"cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
+        ).alias("h"),
+    )
     # all 16 permutation minhashes in ONE grouped pass (16 partial-aggregated
     # min columns) — a seed crossJoin would multiply the shuffle ×16
-    mh = raw.groupBy("doc_id").agg(
+    mh = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("sh")))).alias(f"mh{i}")
-            for i in range(N_HASHES)
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
     bands = mh.select(
@@ -250,16 +287,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEED_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))
+
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {SQL_SHINGLE_CTE},
+hh AS (
+  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {MINHASH_P} AS h
+  FROM shingle
+),
 mh AS (
-  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || sh)) AS mh
-  FROM shingle, (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS i)
+  SELECT doc_id, i, min((a * h + b) % {MINHASH_P}) AS mh
+  FROM hh, (VALUES {_SEED_ROWS}) AS seeds(i, a, b)
   GROUP BY doc_id, i
 ),
 bands AS (
   SELECT doc_id, CAST(i // {ROWS_PER_BAND} AS INT) AS band,
-         string_agg(mh, '|' ORDER BY i) AS band_key
+         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_key
   FROM mh GROUP BY doc_id, 2
 ),
 cand AS (
