@@ -125,10 +125,31 @@ def _raw_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dedup after the explode (dropDuplicates partial-aggregates map-side;
-    # array_distinct ran interpreted over every array)
-    return _raw_shingles_df(spark, sf_dir).dropDuplicates(["doc_id", "sh"])
+# 60-bit md5-prefix of a shingle as bigint — the join/exchange representation.
+# Shuffling and joining 8-byte longs beats ~25-byte shingle strings on every
+# exchange and every join probe; collisions (n²/2⁶¹ expected pairs over the
+# corpus vocabulary) are negligible and, because the DuckDB oracles apply the
+# identical CAST('0x'||substr(md5(sh),1,15)) mapping, bit-identically mirrored.
+_SH_HASH = "cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint)"
+SQL_SH_HASH = "CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)"
+
+
+def _hashed_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, sh) with ``sh`` as the 60-bit hash — drop-in for
+    `_shingles_df` in consumers whose joins/counts don't need the text."""
+    return (
+        _raw_shingles_df(spark, sf_dir)
+        .select("doc_id", F.expr(_SH_HASH).alias("sh"))
+        .dropDuplicates(["doc_id", "sh"])
+    )
+
+
+SQL_HSHINGLE_CTE = f"""{SQL_SHINGLE_CTE},
+hshingle AS (
+  SELECT DISTINCT doc_id, {SQL_SH_HASH} AS sh FROM shingle
+),
+hcount AS (SELECT doc_id, count(*) AS n_sh FROM hshingle GROUP BY doc_id)
+"""
 
 
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -177,7 +198,7 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
+    sh = _hashed_shingles_df(spark, sf_dir)
     # drop boilerplate shingles (df > cap) BEFORE the self-join: the hot set
     # is bounded by total_occurrences/cap shingles, but that bound still
     # grows with the corpus, so no broadcast hint — AQE broadcasts the
@@ -203,10 +224,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH {SQL_SHINGLE_CTE},
+WITH {SQL_HSHINGLE_CTE},
 kept AS (
-  SELECT s.doc_id, s.sh FROM shingle s
-  JOIN (SELECT sh FROM shingle GROUP BY sh
+  SELECT s.doc_id, s.sh FROM hshingle s
+  JOIN (SELECT sh FROM hshingle GROUP BY sh
         HAVING count(*) <= {SHINGLE_DF_CAP}) k ON k.sh = s.sh
 ),
 kcount AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
@@ -234,21 +255,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table; per-doc dedup applies only to the candidate-restricted verify
     # side below, where the semi-join has already shrunk the input
     raw = _raw_shingles_df(spark, sf_dir)
-    # one md5 per occurrence, reduced to the 31-bit mix domain
-    hashed = raw.select(
-        "doc_id",
-        F.expr(
-            f"cast(conv(substring(md5(sh), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
-        ).alias("h"),
-    )
+    # ONE md5 per shingle occurrence, reused by both halves of the query:
+    # the 60-bit value feeds the signature mixes (reduced mod P) AND, after
+    # the candidate semi-join, serves as the verify join key
+    hashed = raw.select("doc_id", F.expr(_SH_HASH).alias("h"))
     # all 16 permutation minhashes in ONE grouped pass (16 partial-aggregated
     # min columns) — a seed crossJoin would multiply the shuffle ×16
-    mh = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ]
+    mh = (
+        hashed.select("doc_id", (F.col("h") % MINHASH_P).alias("hp"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("hp") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
     )
+    # band key = the band's two 31-bit minhashes packed into ONE bigint
+    # (hi·2³¹ + lo ≤ 2⁶²−1) — an 8-byte join key instead of a ~21-char
+    # concat string; the candidate join hashes/compares a long, not UTF8
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -256,8 +281,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                        (
+                            F.col(f"mh{b * ROWS_PER_BAND}") * F.lit(2147483648)
+                            + F.col(f"mh{b * ROWS_PER_BAND + 1}")
                         ).alias("band_key"),
                     )
                     for b in range(N_BANDS)
@@ -277,8 +303,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set, not the corpus
     cand_docs = cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     # dedup AFTER the semi-join restriction: the exchange now carries only
-    # candidate docs' shingles, not the corpus's
-    sh_cand = raw.join(cand_docs, "doc_id", "left_semi").dropDuplicates(["doc_id", "sh"])
+    # candidate docs' hashed shingles (8-byte longs), not the corpus's text
+    sh_cand = (
+        hashed.withColumnRenamed("h", "sh")
+        .join(cand_docs, "doc_id", "left_semi")
+        .dropDuplicates(["doc_id", "sh"])
+    )
     exact = _jaccard_pairs(sh_cand).select("doc_a", "doc_b", "jaccard")
     return (
         cand.join(exact, ["doc_a", "doc_b"])
@@ -290,19 +320,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEED_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))
 
 SQL_DEDUP_MINHASH_LSH = f"""
-WITH {SQL_SHINGLE_CTE},
-hh AS (
-  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {MINHASH_P} AS h
-  FROM shingle
-),
+WITH {SQL_HSHINGLE_CTE},
 mh AS (
-  SELECT doc_id, i, min((a * h + b) % {MINHASH_P}) AS mh
-  FROM hh, (VALUES {_SEED_ROWS}) AS seeds(i, a, b)
+  SELECT doc_id, i, min((a * (sh % {MINHASH_P}) + b) % {MINHASH_P}) AS mh
+  FROM hshingle, (VALUES {_SEED_ROWS}) AS seeds(i, a, b)
   GROUP BY doc_id, i
 ),
 bands AS (
   SELECT doc_id, CAST(i // {ROWS_PER_BAND} AS INT) AS band,
-         string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band_key
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN mh * 2147483648 ELSE mh END) AS BIGINT)
+           AS band_key
   FROM mh GROUP BY doc_id, 2
 ),
 cand AS (
@@ -312,15 +339,15 @@ cand AS (
 ),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM hshingle a JOIN hshingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 exact AS (
   SELECT doc_a, doc_b,
          CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
   FROM inter
-  JOIN shcount ca ON ca.doc_id = doc_a
-  JOIN shcount cb ON cb.doc_id = doc_b
+  JOIN hcount ca ON ca.doc_id = doc_a
+  JOIN hcount cb ON cb.doc_id = doc_b
 )
 SELECT c.doc_a, c.doc_b, e.jaccard
 FROM cand c JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
@@ -630,7 +657,7 @@ DECON_MIN_SHARED = 2  # contaminated iff >= this many distinct shared shingles
 
 
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
+    sh = _hashed_shingles_df(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") % DECON_MOD == 0).select(
         F.col("doc_id").alias("bench_id"), "sh"
     )
@@ -656,9 +683,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CORPUS_DECONTAMINATE = f"""
-WITH {SQL_SHINGLE_CTE},
+WITH {SQL_HSHINGLE_CTE},
 bench AS (
-  SELECT doc_id AS bench_id, sh FROM shingle WHERE doc_id % {DECON_MOD} = 0
+  SELECT doc_id AS bench_id, sh FROM hshingle WHERE doc_id % {DECON_MOD} = 0
 ),
 bench_ok AS (
   SELECT b.bench_id, b.sh FROM bench b
@@ -666,7 +693,7 @@ bench_ok AS (
         HAVING count(DISTINCT bench_id) <= {SHINGLE_DF_CAP}) o ON o.sh = b.sh
 ),
 train AS (
-  SELECT doc_id, sh FROM shingle WHERE doc_id % {DECON_MOD} != 0
+  SELECT doc_id, sh FROM hshingle WHERE doc_id % {DECON_MOD} != 0
 )
 SELECT t.doc_id,
        count(*) AS n_hit_pairs,
