@@ -12,8 +12,11 @@ a 10^10-URL frontier exist without 10^10 stored pages.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Optional
 from urllib.parse import quote, urlparse
+
+from hashlib import blake2b as _blake2b
 
 from .hashing import pick, stable_hash64, unit_float
 
@@ -27,9 +30,26 @@ _WORDS = (
 ).split()
 
 
+# str(i).encode() for the word-index tail; sized past the largest words() call
+_IBYTES = tuple(str(i).encode() for i in range(4096))
+
+
 def words(n: int, *key: object) -> str:
-    """n deterministic lowercase words keyed on *key* (safe charset, no markup)."""
-    return " ".join(pick(_WORDS, *key, "w", i) for i in range(n))
+    """n deterministic lowercase words keyed on *key* (safe charset, no markup).
+
+    Bit-equal to ``" ".join(pick(_WORDS, *key, "w", i) for i in range(n))``;
+    the key prefix is encoded once (it is constant across the n words).
+    """
+    pre = ("\x1f".join(map(str, key)) + "\x1fw\x1f").encode("utf-8")
+    wl, m, bb, fb = _WORDS, len(_WORDS), _blake2b, int.from_bytes
+    if n <= len(_IBYTES):
+        ib = _IBYTES
+        return " ".join(
+            wl[fb(bb(pre + ib[i], digest_size=8).digest(), "big") % m] for i in range(n)
+        )
+    return " ".join(
+        wl[fb(bb(pre + str(i).encode(), digest_size=8).digest(), "big") % m] for i in range(n)
+    )
 
 
 @dataclass(frozen=True)
@@ -44,7 +64,7 @@ class WebConfig:
     p_offsite: float = 0.10
 
     def host_index(self) -> dict[str, int]:
-        return {h: i for i, h in enumerate(self.hosts)}
+        return _host_index(self.hosts)
 
     def n_urls(self) -> int:
         return sum(self.pages_per_host)
@@ -52,6 +72,20 @@ class WebConfig:
     def site_of(self, host: str) -> str:
         """Registrable site of a host: last two labels (docs.site0.test -> site0.test)."""
         return ".".join(host.split(".")[-2:])
+
+
+@lru_cache(maxsize=64)
+def _host_index(hosts: tuple[str, ...]) -> dict[str, int]:
+    return {h: i for i, h in enumerate(hosts)}
+
+
+@lru_cache(maxsize=4096)
+def _site_partition(hosts: tuple[str, ...], host: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(same-site hosts, off-site hosts) of *host* within *hosts*."""
+    site = ".".join(host.split(".")[-2:])
+    same = tuple(h for h in hosts if ".".join(h.split(".")[-2:]) == site)
+    off = tuple(h for h in hosts if ".".join(h.split(".")[-2:]) != site)
+    return same, off
 
 
 def make_config(
@@ -237,10 +271,8 @@ def outlinks_of(url: str, cfg: WebConfig) -> list[RawLink]:
     if loc is None:
         return []
     host, _ = loc
-    idx = cfg.host_index()[host]
     site = cfg.site_of(host)
-    same_site_hosts = [h for h in cfg.hosts if cfg.site_of(h) == site]
-    off_site_hosts = [h for h in cfg.hosts if cfg.site_of(h) != site]
+    same_site_hosts, off_site_hosts = _site_partition(cfg.hosts, host)
 
     n = 1 + stable_hash64(cfg.seed, "nout", url) % (2 * cfg.mean_outlinks)
     out: list[RawLink] = []
