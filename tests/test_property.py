@@ -29,26 +29,35 @@ _URL_ATOMS = [
     "", "#", "/", "..", ".", "p", "5", "?", "&", "=", ":", "//",
     "%2F", "%252F", "%20", "%", "site0.test", "other.test", "docs.",
     "http:", "https:", "HTTP:", "mailto:", "javascript:", "@", "~", " ",
+    # shapes that land in canonicalize's fast path (and its boundaries) —
+    # the fast path must agree with the urllib pipeline on every composition
+    "p/5", "/p/9", "?ref=1", "#sec", "http://site0.test",
+    "http://docs.site0.test/p/2", "/p/5?utm=x1#top", "_", "-", "x.html",
 ]
 hrefs = st.lists(st.sampled_from(_URL_ATOMS), min_size=0, max_size=12).map("".join)
+_BASES = [
+    "http://site0.test/p/3", "http://docs.site0.test/p/0", "http://site0.test",
+    "http://site0.test/", "http://shop.site0.test/a/b/c",
+    "HTTP://site0.test/p/1", "http://site0.test/a.b/c", "http://site0.test/p/3?q=1",
+]
 
 
-@given(hrefs)
+@given(hrefs, st.sampled_from(_BASES))
 @settings(max_examples=500, deadline=None)
-def test_canonicalize_matches_reference_on_fuzzed_hrefs(href):
+def test_canonicalize_matches_reference_on_fuzzed_hrefs(href, base):
     try:
-        expected = reference_pipeline(href, BASE, DOMAIN)
+        expected = reference_pipeline(href, base, DOMAIN)
     except ValueError:
         # urllib itself rejects the href (e.g. invalid IPv6 netloc) — the
         # engine's canonicalize must reject it too, not crash differently
         expected = None
         try:
-            got = canonicalize(href, BASE, DOMAIN)
+            got = canonicalize(href, base, DOMAIN)
         except ValueError:
             got = None
         assert got is None or got == expected
         return
-    assert canonicalize(href, BASE, DOMAIN) == expected
+    assert canonicalize(href, base, DOMAIN) == expected
 
 
 pixel_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))

@@ -13,10 +13,23 @@ distributed results match the sequential reference bit-for-bit.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple, Optional
 from urllib.parse import unquote, urljoin, urlparse
 
 LINK_TEXT_CAP = 200  # reference: Crawler/crawler.py:435,440
+
+# Fast-path recognizers: href/base shapes on which the urllib pipeline below
+# provably reduces to string surgery — no '%' (so unquote is a no-op), no '.'
+# in any path segment (so remove_dot_segments is a no-op), no whitespace or
+# control chars (urlsplit strips \t\r\n), lowercase http scheme and netloc
+# (urlparse lowercases schemes), no ';' (no params split). Everything else
+# falls through to the literal urllib pipeline. The hypothesis fuzz test
+# (tests/test_property.py) asserts both paths agree on arbitrary hrefs.
+_Q = r"(\?[A-Za-z0-9/_=&.\-]*)?(#[A-Za-z0-9/_=&.%\-]*)?$"
+_FAST_ABS_RE = re.compile(r"^http://([a-z0-9.\-]+)(/[A-Za-z0-9/_\-]*)?" + _Q)
+_FAST_BASE_RE = re.compile(r"^http://([a-z0-9.\-]+)(/[A-Za-z0-9/_\-]*)?$")
+_FAST_REL_RE = re.compile(r"^(/?)([A-Za-z0-9_\-]+(?:/[A-Za-z0-9_\-]+)*/?)" + _Q)
 
 
 def canonicalize(href: Optional[str], base_url: str, domain: str) -> Optional[str]:
@@ -33,6 +46,31 @@ def canonicalize(href: Optional[str], base_url: str, domain: str) -> Optional[st
     """
     if not href or href.startswith("#"):
         return None
+    m = _FAST_ABS_RE.match(href)
+    if m is not None:
+        netloc = m.group(1)
+        if netloc == domain or netloc.endswith("." + domain):
+            return "http://" + netloc + (m.group(2) or "")
+        return None
+    mb = _FAST_BASE_RE.match(base_url)
+    if mb is not None:
+        mr = _FAST_REL_RE.match(href)
+        if mr is not None:
+            netloc = mb.group(1)
+            if not (netloc == domain or netloc.endswith("." + domain)):
+                return None
+            body = mr.group(2)
+            if mr.group(1):  # root-relative: /p/5
+                return "http://" + netloc + "/" + body
+            # bare relative resolves against the base's directory (so `p/5`
+            # on /p/3 yields /p/p/5 — the reference's dangling-link shape)
+            bpath = mb.group(2) or "/"
+            return "http://" + netloc + bpath[: bpath.rfind("/") + 1] + body
+    return _canonicalize_urllib(href, base_url, domain)
+
+
+def _canonicalize_urllib(href: str, base_url: str, domain: str) -> Optional[str]:
+    """The literal urllib form of the pipeline (all non-fast-path inputs)."""
     absolute = urljoin(base_url, href)
     decoded = unquote(absolute)
     parsed = urlparse(decoded)
