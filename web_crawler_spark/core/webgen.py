@@ -11,6 +11,7 @@ a 10^10-URL frontier exist without 10^10 stored pages.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from functools import lru_cache
 from typing import Optional
@@ -18,7 +19,7 @@ from urllib.parse import quote, urlparse
 
 from hashlib import blake2b as _blake2b
 
-from .hashing import pick, stable_hash64, unit_float
+from .hashing import pick, prefix_hasher, stable_hash64, unit_float
 
 _WORDS = (
     "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor "
@@ -155,8 +156,16 @@ def url_of(host: str, i: int) -> str:
     return f"http://{host}/p/{i}"
 
 
+# clean universe-URL shape; anything else (query/fragment suffixes, exotic
+# digits/whitespace int() tolerates, uppercase) takes the urlparse path below
+_PAGE_URL_RE = re.compile(r"^http://([a-z0-9.\-]+)/p/([0-9]+)$")
+
+
 def parse_page_url(url: str) -> Optional[tuple[str, int]]:
     """Inverse of url_of; None if the URL is not of universe shape."""
+    m = _PAGE_URL_RE.match(url)
+    if m is not None:
+        return m.group(1), int(m.group(2))
     p = urlparse(url)
     if p.scheme != "http" or not p.netloc:
         return None
@@ -274,53 +283,68 @@ def outlinks_of(url: str, cfg: WebConfig) -> list[RawLink]:
     site = cfg.site_of(host)
     same_site_hosts, off_site_hosts = _site_partition(cfg.hosts, host)
 
-    n = 1 + stable_hash64(cfg.seed, "nout", url) % (2 * cfg.mean_outlinks)
+    # one pre-encoded hasher per decision tag — each h_*(j) is bit-equal to
+    # stable_hash64(seed, tag, url, j) / the unit_float of the same key
+    s, u = cfg.seed, 1.0 / float(1 << 64)
+    h_kind = prefix_hasher(s, "kind", url)
+    h_dupform = prefix_hasher(s, "dupform", url)
+    h_tgt = prefix_hasher(s, "tgt", url)
+    h_sib = prefix_hasher(s, "sib", url)
+    h_off = prefix_hasher(s, "off", url)
+    h_dang = prefix_hasher(s, "dang", url)
+    h_di = prefix_hasher(s, "di", url)
+    h_ti = prefix_hasher(s, "ti", url)
+    h_form = prefix_hasher(s, "form", url)
+    h_hastext = prefix_hasher(s, "hastext", url)
+    h_ntx = prefix_hasher(s, "ntx", url)
+
+    n = 1 + stable_hash64(s, "nout", url) % (2 * cfg.mean_outlinks)
     out: list[RawLink] = []
     prev_target: Optional[str] = None
     for j in range(n):
-        r = unit_float(cfg.seed, "kind", url, j)
+        r = h_kind(j) * u
         if r < 0.03:
             out.append(RawLink("#", "", ""))
             continue
         if r < 0.05:
-            out.append(RawLink(f"mailto:x{j}@{site}", words(1, cfg.seed, "mt", url, j), ""))
+            out.append(RawLink(f"mailto:x{j}@{site}", words(1, s, "mt", url, j), ""))
             continue
         if r < 0.06:
             out.append(RawLink("", "", ""))
             continue
         if r < 0.08 and prev_target is not None:
             # duplicate of the previous target in a different raw form
-            form = pick(_HREF_FORMS, cfg.seed, "dupform", url, j)
+            form = _HREF_FORMS[h_dupform(j) % len(_HREF_FORMS)]
             href = _href_form(prev_target, host, form, j)
-            out.append(RawLink(href, words(2, cfg.seed, "dtx", url, j), ""))
+            out.append(RawLink(href, words(2, s, "dtx", url, j), ""))
             continue
 
         # choose a target host
-        rt = unit_float(cfg.seed, "tgt", url, j)
+        rt = h_tgt(j) * u
         if rt < 0.70 or not same_site_hosts:
             t_host = host
         elif rt < 1.0 - cfg.p_offsite or not off_site_hosts:
-            t_host = pick(same_site_hosts, cfg.seed, "sib", url, j)
+            t_host = same_site_hosts[h_sib(j) % len(same_site_hosts)]
         else:
-            t_host = pick(off_site_hosts, cfg.seed, "off", url, j)
+            t_host = off_site_hosts[h_off(j) % len(off_site_hosts)]
         t_pages = cfg.pages_per_host[cfg.host_index()[t_host]]
         # small chance of a dangling link (in-shape URL past the page count → 404)
-        if unit_float(cfg.seed, "dang", url, j) < 0.03:
-            t_i = t_pages + stable_hash64(cfg.seed, "di", url, j) % 50
+        if h_dang(j) * u < 0.03:
+            t_i = t_pages + h_di(j) % 50
         else:
-            t_i = stable_hash64(cfg.seed, "ti", url, j) % t_pages
+            t_i = h_ti(j) % t_pages
         target = url_of(t_host, t_i)
         prev_target = target
 
-        form = pick(_HREF_FORMS, cfg.seed, "form", url, j)
+        form = _HREF_FORMS[h_form(j) % len(_HREF_FORMS)]
         href = _href_form(target, host, form, j)
-        rtx = unit_float(cfg.seed, "hastext", url, j)
+        rtx = h_hastext(j) * u
         if rtx < 0.70:
-            text = words(1 + stable_hash64(cfg.seed, "ntx", url, j) % 4, cfg.seed, "tx", url, j)
+            text = words(1 + h_ntx(j) % 4, s, "tx", url, j)
             title_attr = ""
         elif rtx < 0.85:
             text = ""
-            title_attr = words(2, cfg.seed, "ta", url, j)
+            title_attr = words(2, s, "ta", url, j)
         else:
             text = ""
             title_attr = ""
