@@ -2,16 +2,19 @@
 
 - embed_cosine_topk: brute-force cosine top-k (the exactness baseline)
 - embed_neardup:     all-pairs cosine >= threshold (embedding near-dup dedup)
-- embed_lsh_ann:     8-hyperplane sign-LSH bucketing -> top-k within bucket
-                     (the scale path: at 10^10 vectors the crossjoin dies;
-                     bucket join shuffles on an 8-bit key instead)
+- embed_lsh_ann:     multi-table sign-LSH with Hamming-1 multiprobe ->
+                     top-k on bucket-collision candidates (the scale path:
+                     at 10^10 vectors the crossjoin dies; the candidate join
+                     shuffles on (table, bucket) instead)
 
 Numeric discipline: dot products are computed as an explicit left-to-right
 sum over index order in BOTH engines (a flat codegen term chain in Spark —
 see `_flat_dot` — and an indexed list comprehension + list_sum in DuckDB) so
 the floating sum is order-identical; similarities are rounded to 6 dp before
 ranking/thresholding and ranks are tie-broken by vec_id, making the output
-integer-exact. All JVM-side expressions — no Python UDFs.
+integer-exact. JVM-side expressions throughout, except the LSH signature
+stage — an integer matmul in one Arrow/numpy mapInPandas pass (see
+_signature_buckets for why that beats every codegen formulation tried).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ _QSCALE = 1024  # fixed-point scale: integer sums are associative-exact in both 
 N_QUERIES = 32
 TOP_K = 5
 NEARDUP_T = 0.35
-N_PLANES = 5  # bits per LSH table (see N_TABLES below for the L×B tradeoff)
+N_PLANES = 10  # bits per LSH table (see N_TABLES below for the L×B tradeoff)
 
 # The brute-force entries are EXACTNESS BASELINES, not scale paths: their
 # plans contain a cartesian product, which is O(n²) pairs. Refuse to run them
@@ -181,60 +184,69 @@ N_TABLES = 8  # multi-table LSH: L independent tables of N_PLANES bits each.
 # 8-bit table on this corpus. The union of L smaller tables gives
 # 1-(1-(1-θ/π)^B)^L while staying strictly bucketed: candidates are pairs
 # sharing a bucket in ANY table — the same band trick as MinHash-LSH.
-# Measured on the driver corpus (true top-5 sims only 0.25-0.49, i.e.
-# weakly-structured vectors — sign-LSH's worst case): B=5,L=8 → recall@5
-# 0.55 touching ~23% of the corpus per query; sweep in BENCH.md. On corpora
-# with real near-dup structure (sim ≥ 0.9) the same L×B gives ≥ 0.99.
+# Shipped config B=10,L=8 with Hamming-1 multiprobe (see _PROBE_MASKS):
+# longer signatures push non-neighbor collisions down to ~(B+1)/2^B per
+# table while the probes buy neighbor recall back. Measured (BENCH.md):
+# clustered corpus (sim≥0.83 neighbors — the realistic near-dup regime)
+# recall@5 = 1.00; adversarial driver corpus (true top-5 sims only
+# 0.25-0.49, sign-LSH's worst case) recall@5 0.36-0.50 touching ~9% of the
+# corpus per query — vs 0.55-0.61 at ~23% for the old single-probe 8×5.
 
 
 def _signature_buckets(spark: SparkSession, e: DataFrame) -> DataFrame:
     """(vec_id, t, bkt) bucket assignments for all N_TABLES LSH tables.
 
-    Computed as posexplode(embedding) ⋈ broadcast(plane-constant table) →
-    partial-aggregated per-(vec, plane) sums → sign-bit packing per table.
-    Every operator is a small codegen expression: the two earlier attempts —
-    a per-row expression with md5() evaluated per component (n·planes·DIM md5
-    calls in an interpreted fold), and a flat 64-term-per-plane literal chain
-    (N_TABLES·N_PLANES·DIM ≈ 2560 terms in one projection, which overflows
-    Janino's 64 KB method limit and drops the whole stage to interpreted
-    eval) — were both orders of magnitude slower. The join emits each
-    position's 40 plane matches as the positions stream in order, so each
-    (vec, plane) partial sum accumulates in position order — the same
-    left-to-right fold as the DuckDB oracle. (Caveat: that ordering relies on
-    position order.) The per-plane sums are fixed-point integers — components
-    quantized by _QSCALE (a power of two, so float->int is exact in both
-    engines), plane constants already integral — so the sum is associative-
-    exact: no accumulation order, hash-vs-sort aggregate choice, or spill can
-    flip a sign bit near zero (|term| < 2^42, DIM terms, far inside int64).
-    At 10^10 vectors both shuffles carry n·planes pre-aggregated rows —
-    linear, uniform keys."""
-    consts = spark.createDataFrame(
-        [
-            (i, g, _plane_const(g, i + 1))
-            for g in range(N_TABLES * N_PLANES)
-            for i in range(DIM)
-        ],
-        "pos int, g int, c long",
+    One Arrow-batched mapInPandas over the embeddings scan: the signature is
+    an INTEGER matrix product XQ (n×DIM, _QSCALE-quantized components) @ C
+    (DIM×L·B plane constants) followed by sign-bit packing — all int64, so
+    the result is associative-exact and bit-equal to any per-term sum order
+    (|term| < 2^42, DIM terms, far inside int64), including the DuckDB
+    oracle's list_sum fold. Quantization matches both engines exactly:
+    float32 → float64 cast is exact, ×_QSCALE (a power of two) is exact,
+    floor then int.
+
+    History, so nobody walks back down this path: (1) per-row md5() inside
+    the expression — n·planes·DIM md5 calls in an interpreted fold, minutes
+    at 20k vectors; (2) flat literal term chains — N_TABLES·N_PLANES·DIM ≈
+    5120 terms overflows Janino's 64 KB method limit and drops the whole
+    stage to interpreted eval; (3) posexplode ⋈ broadcast(constants) →
+    partial-agg — correct and linear, but pushes n·DIM·L·B multiply rows
+    (10^8 at sf1 once multiprobe widened L·B to 80) through two shuffles at
+    row-pipeline speed. The matmul does the identical integer arithmetic at
+    SIMD speed with zero shuffles: the only movement is the Arrow transfer
+    of each scan partition. At 10^10 vectors this stays embarrassingly
+    parallel — per-partition compute, output n·L rows."""
+    import numpy as np
+
+    n_planes_total = N_TABLES * N_PLANES
+    C = np.array(
+        [[_plane_const(g, i + 1) for g in range(n_planes_total)] for i in range(DIM)],
+        dtype=np.int64,
     )
-    comp = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("xq", F.expr(f"cast(floor(cast(x as double) * {_QSCALE}) as bigint)"))
-    dots = (
-        comp.join(F.broadcast(consts), "pos")
-        .groupBy("vec_id", "g")
-        .agg(F.sum(F.col("xq") * F.col("c")).alias("dot"))
-    )
-    return (
-        dots.select(
-            "vec_id",
-            (F.col("g") / N_PLANES).cast("int").alias("t"),
-            F.expr(
-                f"CASE WHEN dot > 0 THEN shiftleft(1, g % {N_PLANES}) ELSE 0 END"
-            ).alias("bit"),
-        )
-        .groupBy("vec_id", "t")
-        .agg(F.sum("bit").cast("int").alias("bkt"))
-    )
+    POW = np.array([1 << (g % N_PLANES) for g in range(n_planes_total)], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((C, POW))
+
+    def gen(batches):
+        import pandas as pd
+
+        Cm, Pw = bc.value
+        tcol = np.arange(N_TABLES, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            XQ = np.floor(X * _QSCALE).astype(np.int64)
+            bits = np.where(XQ @ Cm > 0, Pw, 0)
+            bkts = bits.reshape(len(pdf), N_TABLES, N_PLANES).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), N_TABLES),
+                    "t": np.tile(tcol, len(pdf)),
+                    "bkt": bkts.reshape(-1),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(gen, "vec_id bigint, t int, bkt int")
 
 
 def _sql_bucket_expr(t: int) -> str:
@@ -253,16 +265,39 @@ def _sql_bucket_expr(t: int) -> str:
     return " + ".join(bits)
 
 
+# multiprobe: each query also probes the N_PLANES buckets at Hamming
+# distance 1 in every table (query side only — the indexed side stays one
+# bucket per (vec, table), so the index is unchanged and the probe fan-out
+# is a constant L·(B+1) keys per query, independent of corpus size).
+# Raises per-table collision probability from (1-θ/π)^B to
+# (1-θ/π)^B + B·(θ/π)(1-θ/π)^(B-1), which is what lets B stretch to 10
+# bits (non-neighbor collisions ~(B+1)/2^B) without giving up neighbor
+# recall — measured numbers at the N_TABLES comment below and in BENCH.md.
+_PROBE_MASKS = [0] + [1 << p for p in range(N_PLANES)]
+
+
 def embed_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN, multi-table: candidates share a bucket in any of
-    N_TABLES hash tables; exact cosine + top-k run on candidates only. At
-    10^10 vectors the candidate join shuffles on (table, bucket) — L·n rows,
-    never all pairs — and the verify joins shuffle on vec_id."""
+    """Sign-LSH ANN, multi-table with Hamming-1 multiprobe: candidates share
+    a bucket in any of N_TABLES hash tables with any 1-bit probe of the
+    query's signature; exact cosine + top-k run on candidates only. At
+    10^10 vectors the candidate join shuffles on (table, bucket) — L·n rows
+    on the indexed side, L·(B+1)·q on the probe side — never all pairs —
+    and the verify joins shuffle on vec_id."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     b = _signature_buckets(spark, table(spark, sf_dir, "embeddings"))
-    cand = (
+    probes = (
         b.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "t", "bkt")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "t",
+            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("_m"),
+            "bkt",
+        )
+        .withColumn("bkt", F.expr("bkt ^ _m"))
+        .drop("_m")
+    )
+    cand = (
+        probes
         .join(b.select(F.col("vec_id").alias("neighbor_id"), "t", "bkt"), ["t", "bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
@@ -292,10 +327,15 @@ _SQL_TABLE_BUCKETS = " UNION ALL ".join(
 SQL_EMBED_LSH_ANN = f"""
 WITH {_SQL_NORMED},
 buckets AS ({_SQL_TABLE_BUCKETS}),
+probes AS (
+  SELECT vec_id, t, xor(bkt, m.m) AS bkt
+  FROM buckets, (SELECT unnest({_PROBE_MASKS}) AS m) m
+  WHERE vec_id < {N_QUERIES}
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
-  WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+  FROM probes a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+  WHERE a.vec_id != b.vec_id
 ),
 pairs AS (
   SELECT cand.query_id, cand.neighbor_id,
