@@ -28,9 +28,10 @@ AUDITS = {
     "dedup_minhash_lsh": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "dedup_ngram_jaccard": ([], ["BatchEvalPython", "ArrowEvalPython"]),
     "embed_lsh_ann": ([], ["CartesianProduct", "BatchEvalPython"]),
-    # the 8-row trained-centroid side is broadcast; assignment is a broadcast
-    # nested loop (fine: O(n·k)), never a shuffled cartesian
-    "embed_ivf_ann": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython"]),
+    # round 3: both assignment passes are in-partition numpy matmuls
+    # (MapInPandas); the only join left is the candidate equi-join on cell —
+    # no crossJoin, no per-vec window shuffle, no row-at-a-time Python
+    "embed_ivf_ann": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
     # two-phase rank: the only Window left is per-_pid-partitioned (the plan
     # never moves all rows to one task); no Python anywhere
     "admission_cap": ([], ["BatchEvalPython", "ArrowEvalPython"]),

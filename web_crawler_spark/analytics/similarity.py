@@ -356,6 +356,16 @@ N_CENTROIDS = 8  # coarse-quantizer cells
 NPROBE = 2       # cells searched per query (recall/cost knob)
 
 
+def _ltr_sq_norm(row) -> float:
+    """Left-to-right float64 sum of squares, matching the DuckDB oracle's
+    list_sum fold order term by term (one rounding per multiply, one per
+    add, in index order). Used on the k trained centroids only."""
+    acc = 0.0
+    for x in row:
+        acc += float(x) * float(x)
+    return acc
+
+
 def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN with a TRAINED coarse quantizer and nprobe cells/query.
 
@@ -366,50 +376,113 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical regardless of partition/reduction order — the property a
     float mean can't give on a 1000-executor cluster — and cosine against a
     sum equals cosine against the mean (the member count cancels in the
-    normalization). Queries probe their NPROBE nearest cells; candidates live
-    in their single nearest cell. At 10^10 vectors both assignment passes are
-    broadcast-nested-loop joins against 8 centroids (O(n·k) dot products, no
-    shuffle) and the search shuffles on cell id only.
+    normalization).
+
+    Round 3: both assignment passes are Arrow/numpy integer matmuls inside
+    mapInPandas (the _signature_buckets pattern) instead of
+    crossJoin(broadcast) + row_number windows. The windows partitioned the
+    n·k crossed rows BY VEC_ID — two full-corpus shuffles just to pick each
+    row's argmax over 8 cells; the matmul computes the same assignment
+    per-partition with ZERO shuffles, so at 10^10 vectors the only wide
+    exchange left in the plan is the candidate join on cell id. Assignment
+    similarity is integer-exact on both sides: numerators are int64 dots of
+    _QSCALE-quantized components (XQ @ C.T — overflow only past ~10^11
+    vectors per cell), denominators a single IEEE multiply of two sqrt's,
+    so numpy and the DuckDB oracle agree bit-for-bit with NO rounding step;
+    ties break on cent_id (argsort-stable == ORDER BY sim DESC, cent_id).
+    Training reduces O(P·k) per-partition partial-sum rows on the driver
+    (bounded like the graph.py partition totals); the trained centroids ride
+    back in a broadcast. Final exact re-rank on raw embeddings is unchanged.
     """
-    e = _with_norm(table(spark, sf_dir, "embeddings")).withColumn(
-        "qarr", F.expr(f"transform(embedding, x -> cast(floor(cast(x as double) * {_QSCALE}) as bigint))")
+    import numpy as np
+
+    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # seeds: the first N_CENTROIDS vectors, quantized driver-side (O(k) rows)
+    seed_rows = sorted(
+        e_scan.filter(F.col("vec_id") < N_CENTROIDS).collect(),
+        key=lambda r: r.vec_id,
     )
-    cents0 = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+    SQ = np.floor(
+        np.array([r.embedding for r in seed_rows], dtype=np.float64) * _QSCALE
+    ).astype(np.int64)
+    seed_cn = np.sqrt(((SQ * SQ).sum(axis=1)).astype(np.float64))
+    bc_seed = spark.sparkContext.broadcast((SQ, seed_cn))
+
+    def _quant(pdf):
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        XQ = np.floor(X * _QSCALE).astype(np.int64)
+        na = (XQ * XQ).sum(axis=1)
+        return XQ, np.sqrt(na.astype(np.float64))
+
+    def gen_train(batches):
+        import pandas as pd
+
+        SQm, scn = bc_seed.value
+        S = np.zeros((N_CENTROIDS, DIM), dtype=np.int64)
+        cnt = np.zeros(N_CENTROIDS, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            XQ, sqrt_na = _quant(pdf)
+            sim = (XQ @ SQm.T).astype(np.float64) / (sqrt_na[:, None] * scn[None, :])
+            cell0 = np.argmax(sim, axis=1)  # first max == lowest cent_id on ties
+            np.add.at(S, cell0, XQ)
+            cnt += np.bincount(cell0, minlength=N_CENTROIDS)
+        yield pd.DataFrame(
+            {"cell": np.arange(N_CENTROIDS, dtype=np.int64), "cnt": cnt,
+             "s": [row.tolist() for row in S]}
+        )
+
+    parts = e_scan.mapInPandas(
+        gen_train, "cell bigint, cnt bigint, s array<bigint>"
+    ).collect()  # O(P·k) rows — bounded by partition count, not data size
+    S = np.zeros((N_CENTROIDS, DIM), dtype=np.int64)
+    cnt = np.zeros(N_CENTROIDS, dtype=np.int64)
+    for r in parts:
+        S[r.cell] += np.array(r.s, dtype=np.int64)
+        cnt[r.cell] += r.cnt
+    live = np.nonzero(cnt > 0)[0]
+    CT = S[live]
+    cent_ids = live.astype(np.int64)
+    ct_cn = np.array([np.sqrt(_ltr_sq_norm(row)) for row in CT])
+    bc_cent = spark.sparkContext.broadcast((CT, cent_ids, ct_cn))
+
+    def gen_assign(batches):
+        import pandas as pd
+
+        CTm, cids, ccn = bc_cent.value
+        nprobe_eff = min(NPROBE, len(cids))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            XQ, sqrt_na = _quant(pdf)
+            sim = (XQ @ CTm.T).astype(np.float64) / (sqrt_na[:, None] * ccn[None, :])
+            order = np.argsort(-sim, axis=1, kind="stable")  # ties: lower cent_id
+            vids = pdf["vec_id"].to_numpy()
+            reps = np.where(vids < N_QUERIES, nprobe_eff, 1)
+            idx = np.repeat(np.arange(n), reps)
+            rnk = np.arange(len(idx)) - np.repeat(np.cumsum(reps) - reps, reps)
+            yield pd.DataFrame(
+                {
+                    "vec_id": vids[idx],
+                    "rnk": (rnk + 1).astype(np.int32),
+                    "cell": cids[order[idx, rnk]],
+                    "embedding": pdf["embedding"].take(idx).to_numpy(),
+                }
+            )
+
+    assigned = e_scan.mapInPandas(
+        gen_assign, "vec_id bigint, rnk int, cell bigint, embedding array<float>"
     )
-    sim_c0 = F.round(_flat_dot("embedding", "cv") / (F.col("nrm") * F.col("cn")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), "cent_id")
-    assigned0 = (
-        e.crossJoin(F.broadcast(cents0))
-        .withColumn("_cs", sim_c0)
-        .withColumn("_cr", F.row_number().over(w_assign))
-        .filter(F.col("_cr") == 1)
-        .select("vec_id", "embedding", "nrm", "qarr", F.col("cent_id").alias("cell0"))
-    )
-    # trained centroids: exact int64 component sums (posexplode → partial-
-    # aggregated sum → rebuild the array in component order)
-    cents = (
-        assigned0.select("cell0", F.posexplode("qarr").alias("pos", "q"))
-        .groupBy("cell0", "pos")
-        .agg(F.sum("q").alias("s"))
-        .groupBy(F.col("cell0").alias("cent_id"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("_ps"))
-        .select("cent_id", F.expr("transform(_ps, p -> p.s)").alias("cv"))
-        .withColumn("cn", F.sqrt(_flat_dot("cv", "cv")))
-    )
-    sim_c = F.round(_flat_dot("embedding", "cv") / (F.col("nrm") * F.col("cn")), 6)
-    ranked = (
-        e.crossJoin(F.broadcast(cents))
-        .withColumn("_cs", sim_c)
-        .withColumn("_cr", F.row_number().over(w_assign))
-    )
-    q = ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("_cr") <= NPROBE)).select(
+    q = _with_norm(assigned.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("cent_id").alias("cell"),
+        F.col("nrm").alias("qn"), "cell",
     )
-    c = ranked.filter(F.col("_cr") == 1).select(
+    c = _with_norm(assigned.filter(F.col("rnk") == 1)).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv2"),
-        F.col("nrm").alias("cn2"), F.col("cent_id").alias("cell"),
+        F.col("nrm").alias("cn2"), "cell",
     )
     sim = F.round(_flat_dot("qv", "cv2") / (F.col("qn") * F.col("cn2")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -436,26 +509,41 @@ def _sql_dot_big(a: str, b: str) -> str:
     )
 
 
+def _sql_idot(a: str, b: str) -> str:
+    """Integer dot of two quantized BIGINT lists — associative-exact, so it
+    equals numpy's int64 matmul regardless of summation order."""
+    return f"list_sum([{a}[i] * {b}[i] FOR i IN generate_series(1, {DIM})])"
+
+
+# Assignment similarity mirrors the Spark numpy pass bit-for-bit: int64
+# numerator (associative-exact), denominator = one IEEE multiply of two
+# sqrt's of exactly-representable values, NO rounding step needed.
 SQL_EMBED_IVF_ANN = f"""
 WITH normed AS (
   SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
          {_SQL_QARR} AS qarr
   FROM embeddings
 ),
-cents0 AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
-           FROM normed WHERE vec_id < {N_CENTROIDS}),
+quant AS (
+  SELECT vec_id, embedding, nrm, qarr,
+         CAST({_sql_idot('qarr', 'qarr')} AS BIGINT) AS na
+  FROM normed
+),
+cents0 AS (SELECT vec_id AS cent_id, qarr AS sq, na AS sna
+           FROM quant WHERE vec_id < {N_CENTROIDS}),
 assigned0 AS (
   SELECT vec_id, qarr, cent_id AS cell0 FROM (
     SELECT n.vec_id, n.qarr, c.cent_id,
            row_number() OVER (
              PARTITION BY n.vec_id
-             ORDER BY round({_sql_dot('n.embedding', 'c.cv')} / (n.nrm * c.cn), 6) DESC,
+             ORDER BY CAST({_sql_idot('n.qarr', 'c.sq')} AS DOUBLE)
+                      / (sqrt(CAST(n.na AS DOUBLE)) * sqrt(CAST(c.sna AS DOUBLE))) DESC,
                       c.cent_id) AS _cr
-    FROM normed n CROSS JOIN cents0 c
+    FROM quant n CROSS JOIN cents0 c
   ) WHERE _cr = 1
 ),
 csum AS (
-  SELECT cell0 AS cent_id, i, SUM(qarr[i]) AS s
+  SELECT cell0 AS cent_id, i, CAST(SUM(qarr[i]) AS BIGINT) AS s
   FROM assigned0, (SELECT unnest(generate_series(1, {DIM})) AS i)
   GROUP BY cell0, i
 ),
@@ -469,9 +557,10 @@ ranked AS (
   SELECT n.vec_id, n.embedding, n.nrm, c.cent_id AS cell,
          row_number() OVER (
            PARTITION BY n.vec_id
-           ORDER BY round({_sql_dot_big('n.embedding', 'c.cv')} / (n.nrm * c.cn), 6) DESC,
+           ORDER BY CAST({_sql_idot('n.qarr', 'c.cv')} AS DOUBLE)
+                    / (sqrt(CAST(n.na AS DOUBLE)) * c.cn) DESC,
                     c.cent_id) AS _cr
-  FROM normed n CROSS JOIN cents c
+  FROM quant n CROSS JOIN cents c
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
