@@ -38,19 +38,30 @@ _IBYTES = tuple(str(i).encode() for i in range(4096))
 def words(n: int, *key: object) -> str:
     """n deterministic lowercase words keyed on *key* (safe charset, no markup).
 
-    Bit-equal to ``" ".join(pick(_WORDS, *key, "w", i) for i in range(n))``;
-    the key prefix is encoded once (it is constant across the n words).
+    Words derive in chunks of FOUR: one 32-byte blake2b digest per chunk,
+    one word per 8-byte slice — 4x fewer digest calls than hash-per-word,
+    which was the single largest cost in the synthetic fetch path. Still a
+    pure function of *key*; the engine UDFs and the pure-Python simulator
+    share this function, so both sides of every golden test see the same
+    web by construction.
     """
     pre = ("\x1f".join(map(str, key)) + "\x1fw\x1f").encode("utf-8")
     wl, m, bb, fb = _WORDS, len(_WORDS), _blake2b, int.from_bytes
-    if n <= len(_IBYTES):
-        ib = _IBYTES
-        return " ".join(
-            wl[fb(bb(pre + ib[i], digest_size=8).digest(), "big") % m] for i in range(n)
+    ib, nib = _IBYTES, len(_IBYTES)
+    ws: list[str] = []
+    ext = ws.extend
+    for c in range((n + 3) // 4):
+        d = bb(pre + (ib[c] if c < nib else str(c).encode()), digest_size=32).digest()
+        ext(
+            (
+                wl[fb(d[:8], "big") % m],
+                wl[fb(d[8:16], "big") % m],
+                wl[fb(d[16:24], "big") % m],
+                wl[fb(d[24:32], "big") % m],
+            )
         )
-    return " ".join(
-        wl[fb(bb(pre + str(i).encode(), digest_size=8).digest(), "big") % m] for i in range(n)
-    )
+    del ws[n:]
+    return " ".join(ws)
 
 
 @dataclass(frozen=True)
@@ -283,26 +294,24 @@ def outlinks_of(url: str, cfg: WebConfig) -> list[RawLink]:
     site = cfg.site_of(host)
     same_site_hosts, off_site_hosts = _site_partition(cfg.hosts, host)
 
-    # one pre-encoded hasher per decision tag — each h_*(j) is bit-equal to
-    # stable_hash64(seed, tag, url, j) / the unit_float of the same key
+    # ONE 64-byte digest per link carries all eight decision slots (8-byte
+    # slices v0..v7) — replacing one digest per decision (~8-10 per link).
+    # Slot v1 serves the dup-form choice on the early duplicate branch and
+    # the link-text word count otherwise: the branches are mutually
+    # exclusive, so the streams never correlate.
     s, u = cfg.seed, 1.0 / float(1 << 64)
-    h_kind = prefix_hasher(s, "kind", url)
-    h_dupform = prefix_hasher(s, "dupform", url)
-    h_tgt = prefix_hasher(s, "tgt", url)
-    h_sib = prefix_hasher(s, "sib", url)
-    h_off = prefix_hasher(s, "off", url)
-    h_dang = prefix_hasher(s, "dang", url)
-    h_di = prefix_hasher(s, "di", url)
-    h_ti = prefix_hasher(s, "ti", url)
-    h_form = prefix_hasher(s, "form", url)
-    h_hastext = prefix_hasher(s, "hastext", url)
-    h_ntx = prefix_hasher(s, "ntx", url)
+    pre = f"{s}\x1flnk\x1f{url}\x1f".encode("utf-8")
+    bb, fb = _blake2b, int.from_bytes
+    host_idx = cfg.host_index()
+    pages = cfg.pages_per_host
+    forms, n_forms = _HREF_FORMS, len(_HREF_FORMS)
 
     n = 1 + stable_hash64(s, "nout", url) % (2 * cfg.mean_outlinks)
     out: list[RawLink] = []
     prev_target: Optional[str] = None
     for j in range(n):
-        r = h_kind(j) * u
+        d = bb(pre + str(j).encode(), digest_size=64).digest()
+        r = fb(d[:8], "big") * u
         if r < 0.03:
             out.append(RawLink("#", "", ""))
             continue
@@ -314,33 +323,33 @@ def outlinks_of(url: str, cfg: WebConfig) -> list[RawLink]:
             continue
         if r < 0.08 and prev_target is not None:
             # duplicate of the previous target in a different raw form
-            form = _HREF_FORMS[h_dupform(j) % len(_HREF_FORMS)]
+            form = forms[fb(d[8:16], "big") % n_forms]
             href = _href_form(prev_target, host, form, j)
             out.append(RawLink(href, words(2, s, "dtx", url, j), ""))
             continue
 
         # choose a target host
-        rt = h_tgt(j) * u
+        rt = fb(d[16:24], "big") * u
         if rt < 0.70 or not same_site_hosts:
             t_host = host
         elif rt < 1.0 - cfg.p_offsite or not off_site_hosts:
-            t_host = same_site_hosts[h_sib(j) % len(same_site_hosts)]
+            t_host = same_site_hosts[fb(d[24:32], "big") % len(same_site_hosts)]
         else:
-            t_host = off_site_hosts[h_off(j) % len(off_site_hosts)]
-        t_pages = cfg.pages_per_host[cfg.host_index()[t_host]]
+            t_host = off_site_hosts[fb(d[24:32], "big") % len(off_site_hosts)]
+        t_pages = pages[host_idx[t_host]]
         # small chance of a dangling link (in-shape URL past the page count → 404)
-        if h_dang(j) * u < 0.03:
-            t_i = t_pages + h_di(j) % 50
+        if fb(d[32:40], "big") * u < 0.03:
+            t_i = t_pages + fb(d[40:48], "big") % 50
         else:
-            t_i = h_ti(j) % t_pages
+            t_i = fb(d[40:48], "big") % t_pages
         target = url_of(t_host, t_i)
         prev_target = target
 
-        form = _HREF_FORMS[h_form(j) % len(_HREF_FORMS)]
+        form = forms[fb(d[48:56], "big") % n_forms]
         href = _href_form(target, host, form, j)
-        rtx = h_hastext(j) * u
+        rtx = fb(d[56:64], "big") * u
         if rtx < 0.70:
-            text = words(1 + h_ntx(j) % 4, s, "tx", url, j)
+            text = words(1 + fb(d[8:16], "big") % 4, s, "tx", url, j)
             title_attr = ""
         elif rtx < 0.85:
             text = ""
