@@ -375,6 +375,11 @@ def crawl(
         state_store.save(st0)
 
     fetch_fn = udfs.make_fetch_parse(cfg, job, rules)
+    # incremental URL-seen bloom: built once (sized for max_pages), new
+    # admissions OR'd in per round, re-broadcast per round (prior broadcast
+    # unpersisted). In-memory only — resume rebuilds from the seen table.
+    bloom_state: Optional[BloomFilter64] = None
+    bloom_bcast = None
 
     while rnd < max_rounds and pending_count > 0:
         rnd += 1
@@ -473,9 +478,17 @@ def crawl(
             seen_df = run.read(spark, "seen")
             tm.mark("seen_read")
             if use_bloom:
-                bloom = _build_bloom(seen_df, seen_count)
-                bcast = spark.sparkContext.broadcast(bloom.to_bytes())
-                k = bloom.k
+                if bloom_state is None:
+                    # first bloom use in this process (fresh start: seed only;
+                    # resume: the restored seen table) — build once, sized for
+                    # the job's admission ceiling so the same bitmap serves
+                    # every round and additions are incremental
+                    bloom_state = _build_bloom(seen_df, job.max_pages)
+                if bloom_bcast is not None:
+                    bloom_bcast.unpersist(blocking=False)
+                bloom_bcast = spark.sparkContext.broadcast(bloom_state.to_bytes())
+                bcast = bloom_bcast
+                k = bloom_state.k
 
                 def might_contain(h):
                     import pandas as pd
@@ -546,6 +559,12 @@ def crawl(
                 tables["admissions"].write(admitted_f, rnd)
                 tm.mark("admissions_write")
                 admitted_count = min(n_new, n_admit_room)
+                if use_bloom and bloom_state is not None:
+                    # O(admitted) incremental update (admitted_f re-projects
+                    # from the checkpointed new_urls — no recompute of the
+                    # candidate pipeline)
+                    _bloom_add_df(bloom_state, admitted_f)
+                    tm.mark("bloom_add")
 
 
         # ---- next pending frontier: nothing to write in ANY mode — the
@@ -639,15 +658,28 @@ def _cuckoo_flag(fresh: DataFrame, seen_df: DataFrame) -> DataFrame:
     )
 
 
-def _build_bloom(seen_df: DataFrame, seen_count: int) -> BloomFilter64:
+def _build_bloom(seen_df: DataFrame, capacity_keys: int) -> BloomFilter64:
     """2-phase bloom build: per-partition numpy bitmaps via mapInPandas,
-    OR-reduced on the driver. Bitmap size is O(seen capacity), independent of
-    partition count."""
+    OR-reduced on the driver. Bitmap size is O(capacity), independent of
+    partition count. Sized for *capacity_keys* — pass the job's admission
+    ceiling (max_pages) so the same bitmap serves the whole crawl and rounds
+    can OR new keys in INCREMENTALLY (`_bloom_add_df`) instead of rescanning
+    the full seen table every round."""
+    capacity = max(1024, capacity_keys * 2)
+    out = BloomFilter64(capacity)
+    _bloom_add_df(out, seen_df)
+    return out
+
+
+def _bloom_add_df(bloom: BloomFilter64, df: DataFrame) -> None:
+    """OR *df*'s ``url_hash`` column into *bloom* in place: per-partition
+    numpy bitmaps via mapInPandas, merged on the driver (O(P) bitmap rows).
+    Per-round cost is O(rows added), so carrying one bloom across rounds
+    makes the whole crawl's filter maintenance O(seen) total instead of
+    O(rounds x seen) rebuild-per-round."""
     import pandas as pd
 
-    capacity = max(1024, seen_count * 2)
-    proto = BloomFilter64(capacity)
-    n_bits, k = proto.n_bits, proto.k
+    n_bits, k = bloom.n_bits, bloom.k
 
     def partition_bitmap(batches):
         f = BloomFilter64.__new__(BloomFilter64)
@@ -661,11 +693,9 @@ def _build_bloom(seen_df: DataFrame, seen_count: int) -> BloomFilter64:
         yield pd.DataFrame({"bitmap": [f.to_bytes()]})
 
     parts = (
-        seen_df.select("url_hash")
+        df.select("url_hash")
         .mapInPandas(partition_bitmap, "bitmap binary")
         .collect()
     )
-    out = proto
     for r in parts:
-        out.merge(BloomFilter64.from_bytes(bytes(r["bitmap"]), k))
-    return out
+        bloom.merge(BloomFilter64.from_bytes(bytes(r["bitmap"]), k))
