@@ -125,3 +125,43 @@ def test_kmv_merge_equals_global_k_minima(shards):
     else:
         assert merged["kth_min"] == k_min[-1]
         assert merged["est_distinct"] == (KMV_K - 1) * (1 << 48) // k_min[-1]
+
+
+# ---------------------------------------------------------------------------
+# words() chunked derivation (round 3: 4 words per 32-byte digest)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=64), st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=200, deadline=None)
+def test_words_chunking_contract(n, key):
+    """words(n) must emit exactly n safe lowercase words, be a pure function
+    of its key, and agree with itself across chunk boundaries: the first n
+    words of words(n+j) equal words(n) for any j (prefix stability is what
+    lets callers truncate without re-deriving)."""
+    from web_crawler_spark.core.webgen import _WORDS, words
+
+    out = words(n, 42, "t", key)
+    toks = out.split() if out else []
+    assert len(toks) == n
+    assert all(t in _WORDS for t in toks)
+    assert out == words(n, 42, "t", key)  # deterministic
+    longer = words(n + 5, 42, "t", key).split()
+    assert longer[:n] == toks  # prefix-stable across the 4-word chunking
+
+
+def test_incremental_bloom_equals_batch_build():
+    """OR-ing keys in across many increments must produce the SAME bitmap as
+    one batch add — the invariant the engine's carried-across-rounds bloom
+    (engine._bloom_add_df) relies on for golden-equal crawl ordering."""
+    from web_crawler_spark.functions.filters import BloomFilter64
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    batch = BloomFilter64(20_000)
+    batch.add(keys)
+    inc = BloomFilter64(20_000)
+    for chunk in np.array_split(keys, 13):
+        if len(chunk):
+            inc.add(chunk)
+    assert inc.to_bytes() == batch.to_bytes()
+    assert bool(inc.might_contain(keys).all())
