@@ -271,3 +271,17 @@ def test_engine_matches_oracle_varied_webs(spark, tmp_path, web_kw, job_kw):
     res = oracle.simulate(job, cfg, rules)
     run = engine.crawl(spark, job, cfg, rules, str(tmp_path / "run"))
     assert_matches_oracle(spark, run, res)
+
+
+def test_engine_resume_with_bloom(spark, tmp_path, golden):
+    """Resume with the incremental bloom: the carried bitmap dies with the
+    first process, so the resumed run must rebuild it from the restored seen
+    table and still produce the oracle-exact crawl (round 3: bloom is built
+    once at max_pages capacity and new admissions are OR'd in per round)."""
+    path = str(tmp_path / "resume_bloom")
+    run1 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, max_rounds=3,
+                        use_bloom=True)
+    assert run1.rounds == 3
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True,
+                        use_bloom=True)
+    assert_matches_oracle(spark, run2, golden)
