@@ -110,3 +110,15 @@ def test_star_labels_long_chain(spark):
     assert got["t1"] == got["t2"] == got["t3"] == "t1"
     assert got["p8"] == got["p9"] == "p8"
     assert got["z5"] == "z5"  # self-pair: own singleton component
+
+
+def test_image_dedup_clusters_verdict(spark):
+    """The image-dedup verdict: every reported cluster is a genuine near-dup
+    group (>= 2 members), the keeper is the lexicographic component minimum,
+    and the planted `img-N-v` variants co-cluster with a base image."""
+    rows = QUERIES["image_dedup_clusters"](spark, SF_DIR).collect()
+    assert rows  # planted variants guarantee near-dup structure exists
+    for r in rows:
+        assert r["n_images"] >= 2
+        assert r["keeper_id"] < r["last_member"]  # keeper = component min
+    assert any(r["last_member"].endswith("-v") for r in rows)

@@ -430,6 +430,31 @@ _SQL_U64 = (
 )
 
 
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup VERDICT: group phash near-duplicate images into connected
+    components and pick one keeper per cluster — the step that decides which
+    images a 10^10-image training corpus actually keeps.
+
+    Components come from the same large-star/small-star alternation as text
+    dedup (`dedup._star_labels`, O(log n) shuffle rounds regardless of
+    component diameter) over `image_phash_neardup`'s bucketed pair graph —
+    phash metadata only, no decode anywhere in the plan. Keeper = the
+    lexicographic minimum image_id of each component (strings compare
+    identically in Spark and DuckDB). Every labeled node is in >= 1 pair, so
+    every reported cluster has >= 2 members by construction. The DuckDB
+    oracle is a recursive CTE over the identical pair set."""
+    from .dedup import _star_labels
+
+    pairs = image_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    labels = _star_labels(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("keeper_id"))
+        .agg(F.count("*").alias("n_images"), F.max("doc").alias("last_member"))
+    )
+
+
 def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side benchmark decontamination: flag training images within
     phash Hamming <= IMG_HAMMING_T of ANY held-out benchmark image — the
@@ -785,7 +810,37 @@ QUERIES = {
     "multimodal_video": multimodal_video,
     "image_phash_neardup": image_phash_neardup,
     "image_decontaminate": image_decontaminate,
+    # registered LAST on purpose: the driver's CORRECTNESS file truncates at
+    # 8 KiB (~50 rows); if the 50th row ever overflows, this addition is the
+    # one that loses its row, never a previously-green query
+    "image_dedup_clusters": image_dedup_clusters,
 }
+
+# one-line form of the (values-formatted) near-dup oracle, embeddable as a
+# subquery of the recursive-CTE cluster oracle — same pattern as
+# SQL_DEDUP_CLUSTERS over SQL_DEDUP_MINHASH_LSH
+_SQL_NEARDUP_FLAT = SQL_IMAGE_PHASH_NEARDUP.format(
+    values=_values(_expected_phashes())
+).replace("\n", " ")
+
+SQL_IMAGE_DEDUP_CLUSTERS = f"""
+SELECT label AS keeper_id, CAST(count(*) AS BIGINT) AS n_images,
+       max(doc) AS last_member
+FROM (
+  SELECT doc, min(r) AS label FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_SQL_NEARDUP_FLAT}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+)
+GROUP BY label
+"""
 
 ORACLES = {
     "multimodal_image": SQL_MULTIMODAL_IMAGE,
@@ -800,4 +855,5 @@ ORACLES = {
         n_images=N_IMAGES,
         variant_every=VARIANT_EVERY,
     ),
+    "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
 }
