@@ -40,6 +40,7 @@ HEADLINE = [
     "text_fingerprint",
     "embed_cosine_topk",
     "embed_lsh_ann",
+    "embed_ivf_ann",
     "multimodal_image",
     "image_phash_neardup",
     "host_pagerank",
