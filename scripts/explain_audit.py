@@ -64,6 +64,9 @@ AUDITS = {
     # phash block probe vs benchmark images: equi-joins on (k, blk), no cartesian
     # (the generator mapInPandas is the ingest stand-in, so Python appears only there)
     "image_decontaminate": ([], ["CartesianProduct"]),
+    # keeper-per-cluster verdict: the final grouped agg over star labels —
+    # equi-joins/aggregations only, no cartesian anywhere in the lineage
+    "image_dedup_clusters": ([], ["CartesianProduct"]),
 }
 
 
