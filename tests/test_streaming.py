@@ -187,3 +187,44 @@ def test_stream_kmv_matches_batch(spark, tmp_path):
     assert merged["kth_min"] == batch["kth_min"]
     assert merged["est_distinct"] == batch["est_distinct"]
     assert merged["k_seen"] == batch["k_seen"]
+
+
+def test_stream_phash_neardup_matches_batch(spark, tmp_path):
+    """Ingest-time image near-dup stream (stream-static block join) must
+    equal its batch twin: every arriving `img-N-v` variant is flagged
+    against its indexed base image, with identical Hamming distances."""
+    from web_crawler_spark.analytics.multimodal import _images_with_variants
+    from web_crawler_spark.streaming import stream_phash
+
+    all_imgs = _images_with_variants(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "img_stream"
+    # the arriving stream: every image (bases + variants)
+    all_imgs.write.parquet(str(src))
+    # the static index: the already-accepted corpus = base images only
+    index = (
+        spark.read.parquet(str(src))
+        .filter(~F.col("image_id").endswith("-v"))
+        .select(F.col("image_id").alias("index_id"), "phash")
+    )
+
+    q = stream_phash.run_to_memory(
+        stream_phash.neardup_stream(spark, str(src), index), name="phash_t"
+    )
+    try:
+        got = {
+            (r["image_id"], r["index_id"]): r["hamming"]
+            for r in spark.table("phash_t").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r["image_id"], r["index_id"]): r["hamming"]
+        for r in stream_phash.neardup_batch(spark, str(src), index).collect()
+    }
+    assert got == want and len(got) > 0
+    # every planted variant matched its base in the index
+    variants = {r["image_id"] for r in spark.read.parquet(str(src)).collect()
+                if r["image_id"].endswith("-v")}
+    matched = {img for (img, _) in got}
+    assert variants <= matched

@@ -351,7 +351,11 @@ IMG_HAMMING_T = 6  # max phash Hamming distance for a near-dup pair
 _PH_PAIRS = [(i, j) for i in range(8) for j in range(i + 1, 8)]
 
 
-def _pair_blocks(df: DataFrame, idcol: str, phcol: str) -> DataFrame:
+def _pair_blocks(df: DataFrame, idcol: str, phcol: str, keep: tuple = ()) -> DataFrame:
+    """28 (k, blk) index rows per hash. `keep` carries extra columns through
+    the explode — the streaming probe needs the phash alongside its blocks,
+    because joining the candidate set back to a second branch of the same
+    stream would be a (forbidden-in-complete-mode) stream-stream join."""
     structs = [
         F.struct(
             F.lit(k).alias("k"),
@@ -362,8 +366,8 @@ def _pair_blocks(df: DataFrame, idcol: str, phcol: str) -> DataFrame:
         )
         for k, (i, j) in enumerate(_PH_PAIRS)
     ]
-    return df.select(idcol, F.explode(F.array(*structs)).alias("kb")).select(
-        idcol, F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk")
+    return df.select(idcol, *keep, F.explode(F.array(*structs)).alias("kb")).select(
+        idcol, *keep, F.col("kb.k").alias("k"), F.col("kb.blk").alias("blk")
     )
 
 
