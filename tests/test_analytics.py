@@ -122,3 +122,15 @@ def test_image_dedup_clusters_verdict(spark):
         assert r["n_images"] >= 2
         assert r["keeper_id"] < r["last_member"]  # keeper = component min
     assert any(r["last_member"].endswith("-v") for r in rows)
+
+
+def test_embed_dedup_clusters_verdict(spark):
+    """Semantic-dedup verdict parity + invariants: clusters >= 2 members,
+    keeper is the numeric component minimum."""
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["embed_dedup_clusters"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vectors"] >= 2
+        assert r["keeper_id"] < r["last_member"]

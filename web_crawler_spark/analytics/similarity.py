@@ -588,10 +588,61 @@ ORACLES = {
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
 }
 
+def embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup VERDICT: connected components over the embedding
+    near-dup pair graph, one keeper per cluster — completing the
+    keeper-per-cluster verdict across all three modalities (text:
+    `dedup_clusters`, image: `image_dedup_clusters`, embeddings: here).
+
+    Components via the shared large-star/small-star labeling over
+    `embed_neardup`'s cosine >= {NEARDUP_T} pairs; keeper = minimum vec_id.
+    Inherits the brute-force cardinality guard — at corpus scale the pair
+    source swaps for an LSH-bucketed neardup variant (the bands of
+    `_signature_buckets` with exact verify), leaving this grouping stage
+    unchanged."""
+    from .dedup import _star_labels
+
+    pairs = embed_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _star_labels(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("keeper_id"))
+        .agg(F.count("*").alias("n_vectors"), F.max("doc").alias("last_member"))
+    )
+
+
+SQL_EMBED_DEDUP_CLUSTERS = f"""
+SELECT label AS keeper_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       max(doc) AS last_member
+FROM (
+  SELECT doc, min(r) AS label FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT vec_a AS a, vec_b AS b FROM ({SQL_EMBED_NEARDUP.replace(chr(10), ' ')}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+)
+GROUP BY label
+"""
+
+
 # Local-only (scripts/check_parity.py + pytest, not the driver registry):
 # embed_neardup drives the identical brute-force path as embed_cosine_topk
 # (same _flat_dot / guard / repartition) and is the all-pairs form the
-# cardinality guard forbids at scale anyway; demoted to keep the driver's
-# 8 KB correctness file under budget.
-LOCAL_QUERIES = {"embed_neardup": embed_neardup}
-LOCAL_ORACLES = {"embed_neardup": SQL_EMBED_NEARDUP}
+# cardinality guard forbids at scale anyway; embed_dedup_clusters composes
+# it with the shared star labeling. Both demoted to keep the driver's 8 KB
+# correctness file at its 50-row budget.
+LOCAL_QUERIES = {
+    "embed_neardup": embed_neardup,
+    "embed_dedup_clusters": embed_dedup_clusters,
+}
+LOCAL_ORACLES = {
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
+}
