@@ -588,6 +588,60 @@ ORACLES = {
     "embed_ivf_ann": SQL_EMBED_IVF_ANN,
 }
 
+def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed all-pairs embedding near-dup — the CORPUS-SCALE pair source
+    (`embed_neardup` is the O(n²) exactness baseline behind a cardinality
+    guard; this is what actually runs at 10^10 vectors): candidate pairs
+    share a sign-LSH bucket in ANY of the L tables (index side only, no
+    probes — both members are indexed, so bucket-collision recall applies
+    twice), exact cosine >= {NEARDUP_T} verified on candidates only. Recall
+    is bounded by the L×B collision probability IDENTICALLY in both engines
+    (same signature arithmetic, bit-for-bit), so the oracle sees the same
+    pair set. Shuffles on (table, bucket) then vec_id — never all pairs.
+    Measured: 19 of the 271 exact sim>=0.35 pairs at sf0.01 — that corpus is
+    adversarial for sign-LSH (pairs barely over a low threshold; cos 0.35 ≈
+    69°, near-orthogonal); genuine near-dup regimes (clustered corpus,
+    sim>=0.83) collide at the 0.98-1.0 rates measured in BENCH.md §3b."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    b = _signature_buckets(spark, table(spark, sf_dir, "embeddings"))
+    cand = (
+        b.select(F.col("vec_id").alias("vec_a"), "t", "bkt")
+        .join(b.select(F.col("vec_id").alias("vec_b"), "t", "bkt"), ["t", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
+                 F.col("nrm").alias("na"))
+    c = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    sim = F.round(_flat_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(a, "vec_a")
+        .join(c, "vec_b")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= NEARDUP_T)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+SQL_EMBED_NEARDUP_LSH = f"""
+WITH {_SQL_NORMED},
+buckets AS ({_SQL_TABLE_BUCKETS}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round({_sql_dot('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) AS sim
+FROM cand c
+JOIN normed x ON x.vec_id = c.vec_a
+JOIN normed y ON y.vec_id = c.vec_b
+WHERE round({_sql_dot('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) >= {NEARDUP_T}
+"""
+
+
 def embed_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup VERDICT: connected components over the embedding
     near-dup pair graph, one keeper per cluster — completing the
@@ -640,9 +694,11 @@ GROUP BY label
 # correctness file at its 50-row budget.
 LOCAL_QUERIES = {
     "embed_neardup": embed_neardup,
+    "embed_neardup_lsh": embed_neardup_lsh,
     "embed_dedup_clusters": embed_dedup_clusters,
 }
 LOCAL_ORACLES = {
     "embed_neardup": SQL_EMBED_NEARDUP,
+    "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
 }
