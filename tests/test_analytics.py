@@ -134,3 +134,32 @@ def test_embed_dedup_clusters_verdict(spark):
     for r in rows:
         assert r["n_vectors"] >= 2
         assert r["keeper_id"] < r["last_member"]
+
+
+def test_corpus_multimodal_pipeline_verdict(spark):
+    """Cross-modal verdict semantics: redundant images sink otherwise-kept
+    docs, docs without images pass on the text verdict alone, and statuses
+    partition the image-bearing prefix."""
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+
+    rows = LOCAL_QUERIES["corpus_multimodal_pipeline"](spark, SF_DIR).collect()
+    assert len(rows) == 500  # one verdict per document
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r["image_status"], 0)
+        by_status[r["image_status"]] += 1
+        if r["image_status"] == "redundant":
+            assert not r["keep"]
+        elif r["image_status"] == "none":
+            assert r["keep"] == r["text_keep"]
+        else:
+            assert r["keep"] == r["text_keep"]
+    # the image-bearing prefix (first 200 docs): every 4th base image has a
+    # planted `-v` variant, and the base is always the lexicographic cluster
+    # minimum — so doc-attached images are 'keeper' (50) or 'unique' (150),
+    # and 'redundant' can only appear when two DIFFERENT docs' images
+    # near-dup each other (which this synthetic corpus never plants)
+    assert by_status.get("none", 0) == 300
+    assert by_status.get("keeper", 0) == 50
+    assert by_status.get("unique", 0) == 150
+    assert by_status.get("redundant", 0) == 0

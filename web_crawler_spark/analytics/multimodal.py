@@ -827,6 +827,48 @@ _SQL_NEARDUP_FLAT = SQL_IMAGE_PHASH_NEARDUP.format(
     values=_values(_expected_phashes())
 ).replace("\n", " ")
 
+
+def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL keep/drop verdict — the decision a multimodal training
+    pipeline actually makes per document: keep iff the TEXT retention
+    verdict keeps it (quality + exact-dup keeper, `text.corpus_retention`)
+    AND its attached image is not a redundant near-duplicate (phash cluster
+    member that is not the cluster keeper). Docs beyond the image table get
+    image_status 'none'; images with no near-dup are 'unique'; cluster
+    minima are 'keeper'; everything else is 'redundant' and sinks the doc.
+
+    Scale shape: both verdict sides are the already-bucketed plans (one
+    fingerprint-window pass for text; block-bucketed pairs + star labels
+    for images) joined on doc_id — one extra equi-join, no new wide op."""
+    from .dedup import _star_labels
+    from .text import corpus_retention
+
+    text_v = corpus_retention(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("text_keep")
+    )
+    pairs = image_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    labels = _star_labels(pairs)  # (doc=image_id, label) — near-dup members only
+    sel = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id").orderBy("doc_id").limit(N_IMAGES)
+        .withColumn("image_id", F.concat(F.lit("img-"), F.col("doc_id").cast("string")))
+    )
+    status = sel.join(labels, sel.image_id == labels.doc, "left").select(
+        "doc_id",
+        F.when(F.col("label").isNull(), F.lit("unique"))
+        .when(F.col("label") == F.col("image_id"), F.lit("keeper"))
+        .otherwise(F.lit("redundant"))
+        .alias("image_status"),
+    )
+    return (
+        text_v.join(status, "doc_id", "left")
+        .withColumn("image_status", F.coalesce("image_status", F.lit("none")))
+        .withColumn("keep", F.col("text_keep") & (F.col("image_status") != "redundant"))
+        .select("doc_id", "text_keep", "image_status", "keep")
+    )
+
 SQL_IMAGE_DEDUP_CLUSTERS = f"""
 SELECT label AS keeper_id, CAST(count(*) AS BIGINT) AS n_images,
        max(doc) AS last_member
@@ -861,3 +903,42 @@ ORACLES = {
     ),
     "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
 }
+
+# cross-modal pipeline verdict: text retention ⋈ image cluster labels.
+# Local registry — the driver file is at its 50-row budget.
+from .text import SQL_CORPUS_RETENTION as _SQL_RET  # noqa: E402
+
+SQL_CORPUS_MULTIMODAL_PIPELINE = f"""
+WITH ret AS ({_SQL_RET.replace(chr(10), ' ')}),
+labels AS (
+  SELECT doc, min(r) AS label FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_SQL_NEARDUP_FLAT}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+),
+sel AS (
+  SELECT doc_id, 'img-' || CAST(doc_id AS VARCHAR) AS image_id
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_IMAGES})
+),
+status AS (
+  SELECT s.doc_id,
+         CASE WHEN l.label IS NULL THEN 'unique'
+              WHEN l.label = s.image_id THEN 'keeper'
+              ELSE 'redundant' END AS image_status
+  FROM sel s LEFT JOIN labels l ON l.doc = s.image_id
+)
+SELECT r.doc_id, r.keep AS text_keep,
+       coalesce(st.image_status, 'none') AS image_status,
+       (r.keep AND coalesce(st.image_status, 'none') != 'redundant') AS keep
+FROM ret r LEFT JOIN status st USING (doc_id)
+"""
+
+LOCAL_QUERIES = {"corpus_multimodal_pipeline": corpus_multimodal_pipeline}
+LOCAL_ORACLES = {"corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE}
