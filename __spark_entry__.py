@@ -32,10 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file is a hard 8192-byte JSON budget (r02 held
-# exactly 50 of 54 entries, cut in registry order). The registry is now 50
-# entries (redundant twins merged/demoted — see module notes; round-3 adds
-# image_dedup_clusters LAST so an overflow only ever cuts the newest row),
-# and this
+# exactly 50 of 54 entries, cut in registry order). The registry is now 48
+# entries (redundant twins merged or demoted to the locally-verified
+# LOCAL_QUERIES tier — see module notes), projecting to ~7.9 KB with ~300 B
+# of margin so no row can be truncated again. This
 # explicit order puts the entries with the least prior driver evidence first:
 # the two r02 hash-fails (oracle HUGEINT typing, fixed) and the four entries
 # r02 truncated away, then the merged/renamed entries whose names are new.

