@@ -71,8 +71,10 @@ AUDITS = {
 
 
 def main() -> int:
-    from web_crawler_spark.analytics import QUERIES
+    from web_crawler_spark.analytics import LOCAL_QUERIES, QUERIES
     from web_crawler_spark.session import get_spark
+
+    QUERIES = {**QUERIES, **LOCAL_QUERIES}
 
     only = set(sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
