@@ -77,88 +77,9 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.repartition(_gen_partitions(spark, N_IMAGES), "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
 
 
-def multimodal_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + per-row invariant check (input_hint: pixel allclose / PSNR >= 40
-    for lossy, phash match, caption equality), aggregated per format."""
-    imgs = _images(spark, sf_dir).withColumn("crawled_caption", F.col("caption"))
-    checked = imgs.mapInPandas(udfs.decode_validate, udfs.VALIDATION_SCHEMA)
-    agg_ok = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias(c.replace("_ok", "_pass"))
-    return (
-        checked.groupBy("fmt")
-        .agg(
-            F.count("*").alias("n_images"),
-            agg_ok("decode_ok"),
-            agg_ok("pixels_ok"),
-            agg_ok("phash_ok"),
-            agg_ok("caption_ok"),
-            F.min(F.coalesce("psnr_db", F.lit(99.0))).alias("min_psnr_db"),
-        )
-        .orderBy("fmt")
-    )
-
-
-FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("image_id", T.StringType(), False),
-        T.StructField("fmt", T.StringType(), True),
-        T.StructField("w", T.IntegerType(), True),
-        T.StructField("h", T.IntegerType(), True),
-        T.StructField("mean_r", T.DoubleType(), True),
-        T.StructField("mean_g", T.DoubleType(), True),
-        T.StructField("mean_b", T.DoubleType(), True),
-        T.StructField("brightness", T.DoubleType(), True),
-        T.StructField("thumb8", T.ArrayType(T.DoubleType()), True),  # 8x8 gray resize
-    ]
-)
-
-
-def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas: decode binary -> per-channel means + 8x8 block-mean resize.
-
-    The resize is the frame-sample/thumbnail pattern: at 100 TB this stage is
-    the one that owns the Arrow batch size (bytes are large — keep
-    spark.sql.execution.arrow.maxRecordsPerBatch small)."""
-    for pdf in batches:
-        rows = []
-        for r in pdf.itertuples(index=False):
-            rec = dict(image_id=r.image_id, fmt=None, w=None, h=None, mean_r=None,
-                       mean_g=None, mean_b=None, brightness=None, thumb8=None)
-            try:
-                px, w, h, fmt = imagecodec.decode(bytes(r.bytes))
-                gray = px.astype(np.float64).mean(axis=2)
-                ph, pw = (-h) % 8, (-w) % 8
-                if ph or pw:
-                    gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
-                thumb = gray.reshape(8, gray.shape[0] // 8, 8, gray.shape[1] // 8).mean(axis=(1, 3))
-                rec.update(
-                    fmt=fmt, w=w, h=h,
-                    mean_r=float(px[:, :, 0].mean()),
-                    mean_g=float(px[:, :, 1].mean()),
-                    mean_b=float(px[:, :, 2].mean()),
-                    brightness=float(gray.mean()),
-                    thumb8=[float(x) for x in thumb.flatten()],
-                )
-            except (ValueError, NotImplementedError):
-                pass  # corrupt/unsupported -> nulls, counted downstream
-            rows.append(rec)
-        yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
-
-
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    imgs = _images(spark, sf_dir)
-    feats = imgs.mapInPandas(extract_features, FEATURES_SCHEMA)
-    return (
-        feats.groupBy("fmt")
-        .agg(
-            F.count("*").alias("n_images"),
-            F.sum(F.when(F.col("brightness").isNotNull(), 1).otherwise(0)).alias("n_decoded"),
-            F.min("w").alias("min_w"),
-            F.max("w").alias("max_w"),
-            F.min("h").alias("min_h"),
-            F.max("h").alias("max_h"),
-        )
-        .orderBy("fmt")
-    )
+# (the decode/validate/feature extractor lives in functions/udfs.py —
+# one mapInPandas pass computes invariant flags AND decoded features from a
+# single pixel buffer; see multimodal_image below)
 
 
 # ---------------------------------------------------------------------------
@@ -636,7 +557,8 @@ def _values(rows: list[tuple]) -> str:
 
 def _expected_image_metrics() -> list[tuple]:
     """Pure-Python expected per-image metrics, same semantics as
-    udfs.decode_validate + extract_features but computed in-process."""
+    udfs.decode_validate but computed in-process (the feature columns call
+    the identical imagecodec.features numpy path, so doubles are bit-equal)."""
     out = []
     for i in range(N_IMAGES):
         iid = f"img-{i}"
@@ -649,6 +571,7 @@ def _expected_image_metrics() -> list[tuple]:
             pixels_ok = p >= 40.0
         else:
             psnr_db, pixels_ok = None, bool(np.array_equal(px, ref))
+        feats = imagecodec.features(px)
         out.append((
             iid, fmt, w, h,
             int(w == r["w"] and h == r["h"] and fmt == r["fmt"]),
@@ -656,6 +579,8 @@ def _expected_image_metrics() -> list[tuple]:
             int(imagecodec.phash64(px) == r["phash"]),
             1,  # caption_ok: the query compares the caption to itself
             psnr_db,
+            feats["brightness"],
+            feats["thumb_var"],
         ))
     return out
 
@@ -779,19 +704,46 @@ GROUP BY fmt ORDER BY fmt
 
 
 def multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format image rollup merging the decode/validate invariant counts
-    (decode/pixels/phash/caption pass, min PSNR) with the decoded-feature
-    ranges (former separate multimodal_validate + multimodal_features
-    entries — both aggregate to the same per-fmt grain, merged to keep the
-    driver's 8 KB correctness file under budget). Both mapInPandas decode
-    paths stay exercised; the final join is on the 3-row fmt key."""
-    v = multimodal_validate(spark, sf_dir)
-    f = multimodal_features(spark, sf_dir).drop("n_images")
-    return v.join(f, "fmt").orderBy("fmt")
+    """Per-format image rollup: decode/validate invariant counts
+    (decode/pixels/phash/caption pass, min PSNR per input_hint) AND the
+    decoded-feature summary (size ranges, min brightness, max 8×8-resize
+    variance) from ONE generator pass, ONE decode mapInPandas, ONE groupBy.
+
+    Formerly two sub-plans (validate + features) joined on fmt — that shape
+    generated and decoded every image twice. At corpus scale the decode
+    stage dominates this pipeline, so validation and feature extraction now
+    share a single pixel buffer inside udfs.decode_validate; the join is
+    gone entirely."""
+    imgs = _images(spark, sf_dir).withColumn("crawled_caption", F.col("caption"))
+    checked = imgs.mapInPandas(udfs.decode_validate, udfs.VALIDATION_SCHEMA)
+    agg_ok = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).alias(c.replace("_ok", "_pass"))
+    return (
+        checked.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            agg_ok("decode_ok"),
+            agg_ok("pixels_ok"),
+            agg_ok("phash_ok"),
+            agg_ok("caption_ok"),
+            F.min(F.coalesce("psnr_db", F.lit(99.0))).alias("min_psnr_db"),
+            F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_decoded"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+            # min/max are order-independent and exact on doubles, and the
+            # expected values come from the same imagecodec.features numpy
+            # path — bit-equal parity without relying on float-sum order
+            F.min("brightness").alias("min_brightness"),
+            F.max("thumb_var").alias("max_thumb_var"),
+        )
+        .orderBy("fmt")
+    )
 
 
 SQL_MULTIMODAL_IMAGE = f"""
-WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
+WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db,
+              brightness, thumb_var) AS (
   VALUES {_values(_expected_image_metrics())}
 ),
 {_img_sel(N_IMAGES)}
@@ -802,7 +754,9 @@ SELECT fmt, count(*) AS n_images,
        CAST(sum(caption_ok) AS BIGINT) AS caption_pass,
        min(coalesce(psnr_db, 99.0)) AS min_psnr_db,
        CAST(sum(decode_ok) AS BIGINT) AS n_decoded,
-       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
+       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h,
+       min(brightness) AS min_brightness,
+       max(thumb_var) AS max_thumb_var
 FROM sel JOIN expected USING (image_id)
 GROUP BY fmt ORDER BY fmt
 """

@@ -96,6 +96,31 @@ def phash64(pixels: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def features(pixels: np.ndarray) -> dict:
+    """Decoded-image feature projection: per-channel means, brightness, and
+    the 8×8 block-mean thumbnail (the resize stage of the feature-extract
+    pipeline) summarized by its variance.
+
+    Shared by the Spark mapInPandas extractor AND the driver-side
+    expected-metrics oracle generator so both run the identical float64
+    numpy reduction — oracle parity is bit-equality by construction.
+    """
+    px = pixels.astype(np.float64)
+    gray = px.mean(axis=2)
+    h, w = gray.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        gray = np.pad(gray, ((0, ph), (0, pw)), mode="edge")
+    thumb = gray.reshape(8, gray.shape[0] // 8, 8, gray.shape[1] // 8).mean(axis=(1, 3))
+    return {
+        "mean_r": float(px[:, :, 0].mean()),
+        "mean_g": float(px[:, :, 1].mean()),
+        "mean_b": float(px[:, :, 2].mean()),
+        "brightness": float(gray.mean()),
+        "thumb_var": float(thumb.var()),
+    }
+
+
 def variant_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Near-duplicate of *image_id*'s reference pixels: every 5th pixel in each
     axis gets bit 2 flipped (±4 of 255 on 1/25 of pixels). Block means move

@@ -176,14 +176,24 @@ VALIDATION_SCHEMA = T.StructType(
         T.StructField("phash_computed", T.LongType(), True),
         T.StructField("phash_ok", T.BooleanType(), False),
         T.StructField("caption_ok", T.BooleanType(), False),
+        # decoded-feature projection, same decode pass (never decode twice:
+        # at corpus scale the decode stage dominates, so validation and
+        # feature extraction share one pixel buffer)
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+        T.StructField("thumb_var", T.DoubleType(), True),  # 8×8 block-mean resize variance
     ]
 )
 
 
 def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas over images-table rows joined with crawled captions:
-    decode bytes, check the input_hint per-row invariant (pixel allclose /
-    PSNR ≥ 40 dB for lossy, phash match, caption equality).
+    decode bytes ONCE, check the input_hint per-row invariant (pixel
+    allclose / PSNR ≥ 40 dB for lossy, phash match, caption equality) and
+    project the decoded features (channel means, brightness, 8×8 resize
+    variance) from the same pixel buffer.
 
     Expects columns: image_id, bytes, w, h, fmt, caption, phash, crawled_caption.
     """
@@ -195,6 +205,8 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "decode_ok": False, "psnr_db": None, "pixels_ok": False,
                 "phash_computed": None, "phash_ok": False,
                 "caption_ok": bool(r.crawled_caption == r.caption),
+                "mean_r": None, "mean_g": None, "mean_b": None,
+                "brightness": None, "thumb_var": None,
             }
             try:
                 px, w, h, fmt = imagecodec.decode(bytes(r.bytes))
@@ -207,6 +219,7 @@ def decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     rec.update(pixels_ok=bool(np.array_equal(px, ref)))
                 ph = imagecodec.phash64(px)
                 rec.update(phash_computed=ph, phash_ok=bool(ph == r.phash))
+                rec.update(imagecodec.features(px))
             except (ValueError, NotImplementedError):
                 pass
             out.append(rec)
