@@ -140,6 +140,25 @@ def test_image_row_phash_matches_decode():
     assert imagecodec.phash64(dec) == row["phash"]
 
 
+def test_image_features_invariants():
+    # constant image: every mean equals the constant, resize variance is 0
+    flat = np.full((21, 33, 3), 7, dtype=np.uint8)
+    f = imagecodec.features(flat)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == f["brightness"] == 7.0
+    assert f["thumb_var"] == 0.0
+    # random image: means bounded by uint8 range, variance non-negative,
+    # and the projection is deterministic (shared by UDF and oracle)
+    px = imagecodec.reference_pixels("im-feats", 40, 24)
+    f1, f2 = imagecodec.features(px), imagecodec.features(px)
+    assert f1 == f2
+    for k in ("mean_r", "mean_g", "mean_b", "brightness"):
+        assert 0.0 <= f1[k] <= 255.0
+    assert f1["thumb_var"] >= 0.0
+    # non-multiple-of-8 dims exercise the edge padding without changing shape
+    odd = imagecodec.features(imagecodec.reference_pixels("im-odd", 13, 9))
+    assert 0.0 <= odd["brightness"] <= 255.0
+
+
 def test_robots_semantics():
     rules = rules_by_host(
         [
