@@ -70,6 +70,20 @@ def test_every_query_has_registry_consistency():
     assert rows_only == {"crawl_bfs"}  # the iterative engine is the only non-SQL op left
 
 
+def test_driver_correctness_file_budget():
+    """The external driver truncates its CORRECTNESS JSON at 8192 bytes
+    (r02 silently dropped 4 of 54 rows). Guard the registry against ever
+    projecting past that cap again."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "registry_budget.py")],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 def test_multimodal_image_invariants(spark):
     """input_hint per-row invariant: decode ok, pixels allclose/PSNR>=40 for
     lossy, phash match, caption equality — for every synthesized image —
