@@ -184,6 +184,31 @@ def test_engine_resume_discards_partial_round(spark, tmp_path, golden):
     assert_matches_oracle(spark, run2, golden)
 
 
+def test_engine_resume_sweeps_orphan_snapshot(spark, tmp_path, golden):
+    """Crash simulation, harder variant (found by SIGKILLing a spark-submit
+    run mid-round): the parquet snapshot dir was written but the process
+    died BEFORE the manifest commit, so the dir is an orphan the manifest
+    never references. Resume's rollback must sweep it, or the re-crawled
+    round reuses its snapshot id and dies on errorifexists."""
+    import os
+
+    path = str(tmp_path / "orphan")
+    run1 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, max_rounds=3)
+    assert run1.rounds == 3
+
+    adm_t = run1.tables["admissions"]
+    next_sid = max(s["snapshot_id"] for s in adm_t._load()) + 1
+    orphan = os.path.join(adm_t.dir, f"snap-{next_sid:06d}")
+    run1.read(spark, "admissions").limit(3).write.parquet(orphan)
+    # also a half-written manifest temp of the crashed commit
+    with open(os.path.join(adm_t.dir, "_manifest_tmp_crash"), "w") as f:
+        f.write("{")
+
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
+    assert not os.path.exists(os.path.join(adm_t.dir, "_manifest_tmp_crash"))
+    assert_matches_oracle(spark, run2, golden)
+
+
 def test_engine_time_travel_read(spark, tmp_path, golden):
     """Iceberg-style time travel: reading a table `as_of_round=r` must equal
     the final state filtered to rounds <= r — i.e. the manifest filter

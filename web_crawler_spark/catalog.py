@@ -202,14 +202,30 @@ class SnapshotTable:
         return True
 
     def rollback_to_round(self, round: int) -> None:
-        """Drop snapshots committed after *round* (crash-resume cleanup)."""
+        """Drop snapshots committed after *round* (crash-resume cleanup).
+
+        Also sweeps ORPHAN snapshot directories: write() writes the parquet
+        dir before the manifest commit, so a crash between the two leaves a
+        snap-* dir the manifest never references — the next write would
+        reuse its id and fail errorifexists (found by SIGKILLing a
+        spark-submit run mid-round and resuming). Same model as Iceberg:
+        uncommitted data files are orphans, removed by maintenance before
+        their names can collide; the manifest is the sole source of truth.
+        """
         snaps = self._load()
         keep = [s for s in snaps if s["round"] <= round]
-        dropped = [s for s in snaps if s["round"] > round]
         self._commit(keep)
-        for s in dropped:
-            if not s.get("ref"):  # referenced files belong to their owner table
-                shutil.rmtree(s["path"], ignore_errors=True)
+        # every non-ref snap-* dir not in the kept manifest is dead: either
+        # explicitly dropped (round > resume point) or an orphan of a crashed
+        # write. ref snapshots point at files owned by another table, so the
+        # only legitimate dirs here are the kept non-ref paths.
+        kept_paths = {s["path"] for s in keep if not s.get("ref")}
+        for name in os.listdir(self.dir):
+            p = os.path.join(self.dir, name)
+            if name.startswith("snap-") and os.path.isdir(p) and p not in kept_paths:
+                shutil.rmtree(p, ignore_errors=True)
+            elif name.startswith("_manifest_tmp") and os.path.isfile(p):
+                os.unlink(p)  # half-written manifest temp of a crashed commit
 
     def exists(self) -> bool:
         return bool(self._load())
