@@ -209,6 +209,34 @@ def test_engine_resume_sweeps_orphan_snapshot(spark, tmp_path, golden):
     assert_matches_oracle(spark, run2, golden)
 
 
+def test_engine_resume_before_first_state_commit(spark, tmp_path, golden):
+    """Crash during the round-0 seed write, BEFORE the first run-state save:
+    no state file exists (the state file is the commit point), so resume
+    must treat the storage as never-started — clearing seed debris (an
+    orphan parquet dir, or a committed round-0 snapshot whose state save
+    never landed) instead of dying on errorifexists or duplicating the
+    seed."""
+    import os
+
+    path = str(tmp_path / "prestate")
+    # orphan case: parquet dir exists, manifest and state never written
+    adm_dir = os.path.join(path, "admissions")
+    os.makedirs(os.path.join(adm_dir, "snap-000001", "_temporary"))
+    run = engine.crawl(spark, JOB, CFG, RULES, path, budget=10, resume=True)
+    assert_matches_oracle(spark, run, golden)
+
+    # committed-but-unstated case: round-0 snapshot in the manifest, state
+    # file removed (crash between manifest commit and state save)
+    path2 = str(tmp_path / "prestate2")
+    run1 = engine.crawl(spark, JOB, CFG, RULES, path2, budget=10, max_rounds=1)
+    os.unlink(os.path.join(path2, "_run_state.json"))
+    run2 = engine.crawl(spark, JOB, CFG, RULES, path2, budget=10, resume=True)
+    # exactly one round-0 admissions snapshot: the seed was not duplicated
+    r0 = [s for s in run2.tables["admissions"]._load() if s["round"] == 0]
+    assert len(r0) == 1, r0
+    assert_matches_oracle(spark, run2, golden)
+
+
 def test_engine_time_travel_read(spark, tmp_path, golden):
     """Iceberg-style time travel: reading a table `as_of_round=r` must equal
     the final state filtered to rounds <= r — i.e. the manifest filter

@@ -360,6 +360,17 @@ def crawl(
         pending_count = state["pending_count"]
         host_wm = dict(state.get("host_watermarks", {}))
     else:
+        if resume:
+            # resume requested but no run state exists: the crash happened
+            # before the FIRST state commit (the state file is the commit
+            # point), so nothing durable was ever committed — clear any
+            # debris of the crashed seeding (orphan parquet dirs / a
+            # committed-but-unstated round-0 snapshot) and restart from
+            # scratch. Without this, re-seeding hits errorifexists on the
+            # orphan (found by SIGKILLing a spark-submit run during the
+            # round-0 seed write).
+            for t in tables.values():
+                t.rollback_to_round(-1)
         # round 0: seed the frontier and the seen set (crawler.py:611-612 —
         # the start URL is admitted as-is, uncanonicalized)
         seed = spark.createDataFrame(
