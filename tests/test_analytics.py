@@ -186,3 +186,61 @@ def test_corpus_multimodal_pipeline_verdict(spark):
     assert by_status.get("keeper", 0) == 50
     assert by_status.get("unique", 0) == 150
     assert by_status.get("redundant", 0) == 0
+
+
+def test_text_repetition_verdict(spark):
+    """Gopher-style repetition signals: fractions bounded and consistent
+    (top1 >= 1/n_words, top2/dup3 in [0,1]), verdict matches the three
+    thresholds, and the corpus splits into both verdict classes."""
+    from web_crawler_spark.analytics.text import REP_DUP3_T, REP_TOP1_T, REP_TOP2_T
+
+    rows = LOCAL_QUERIES["text_repetition"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    n_ok = 0
+    for r in rows:
+        assert r["top1_frac"] >= 1.0 / r["n_words"]
+        assert 0.0 <= r["top2_frac"] <= 1.0 and 0.0 <= r["dup3_frac"] <= 1.0
+        want = (
+            r["top1_frac"] <= REP_TOP1_T
+            and r["top2_frac"] <= REP_TOP2_T
+            and r["dup3_frac"] <= REP_DUP3_T
+        )
+        assert r["rep_ok"] == want
+        n_ok += int(r["rep_ok"])
+    assert 0 < n_ok < 500  # thresholds actually discriminate
+
+
+def test_line_dedup_verdict(spark):
+    """Segment-level dedup: per-doc segment count matches ceil(words/10),
+    shared_frac = n_shared/n_segs, and keep applies the 0.5 threshold."""
+    import math
+
+    from web_crawler_spark.analytics.text import SEG_SHARED_T
+
+    rows = {r["doc_id"]: r for r in LOCAL_QUERIES["line_dedup"](spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    words = {
+        r["doc_id"]: len(r["text"].strip().lower().split())
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    for doc_id, r in rows.items():
+        assert r["n_segs"] <= math.ceil(words[doc_id] / 10)  # <= : distinct segs
+        assert 0 <= r["n_shared"] <= r["n_segs"]
+        assert r["shared_frac"] == r["n_shared"] / r["n_segs"]
+        assert r["keep"] == (r["shared_frac"] < SEG_SHARED_T)
+
+
+def test_domain_resample_verdict(spark):
+    """Temperature resampling: rates in (0,1], uniform sources flatten to a
+    single rate, and the md5-threshold sample is reproducible and lands
+    near rate*n (the hash is uniform; tolerance is generous)."""
+    rows = LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    rates = {r["source"]: r["rate"] for r in rows}
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    # sf0.001 documents: 20 sources x 25 docs -> every rate = 0.5 exactly
+    assert set(rates.values()) == {0.5}
+    n_sampled = sum(r["sampled"] for r in rows)
+    assert abs(n_sampled - 250) < 60
+    again = {r["doc_id"]: r["sampled"] for r in LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()}
+    assert all(again[r["doc_id"]] == r["sampled"] for r in rows)

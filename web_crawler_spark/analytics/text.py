@@ -274,6 +274,237 @@ FROM verdict
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality filter (Rae et al. 2021 §A1.1 signals,
+# adapted to the synthetic word-soup corpus): per document, the share of the
+# most frequent word, the share of the most frequent word 2-gram, and the
+# fraction of 3-gram occurrences that are duplicated within the document.
+# A training pipeline drops documents dominated by repeated boilerplate.
+#
+# Scale shape: ONE explode of a tagged (n, gram) array covers all three gram
+# sizes, then two hash aggregations — (doc_id, n, gram) counts with map-side
+# partial agg, then a conditional-agg rollup to one row per document. Both
+# shuffles key on doc_id(+gram): naturally partitioned, no global window,
+# no data-scaling broadcast. Fractions are single double divisions of exact
+# bigints, so the verdict is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+REP_TOP1_T = 0.12  # max share of the most common word
+REP_TOP2_T = 0.06  # max share of the most common 2-gram
+REP_DUP3_T = 0.05  # max fraction of 3-gram occurrences that repeat in-doc
+
+# built over a pre-bound `ws` column so the text is split exactly once
+_GRAMS = """
+concat(
+  transform(ws, x -> struct(1 as n, x as gram)),
+  CASE WHEN size(ws) >= 2 THEN
+    transform(sequence(1, size(ws) - 1), i -> struct(
+      2 as n, concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)) as gram))
+  ELSE array() END,
+  CASE WHEN size(ws) >= 3 THEN
+    transform(sequence(1, size(ws) - 2), i -> struct(
+      3 as n, concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                        element_at(ws, i + 2)) as gram))
+  ELSE array() END
+)
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .select("doc_id", F.explode(F.expr(_GRAMS)).alias("g"))
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    cnt = grams.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top_cnt"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias("dup_cnt"),
+    )
+
+    def _n(col: str, n: int):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            _n("total", 1).alias("n_words"),
+            (_n("top_cnt", 1).cast("double") / _n("total", 1)).alias("top1_frac"),
+            F.coalesce(_n("top_cnt", 2).cast("double") / _n("total", 2), F.lit(0.0)).alias("top2_frac"),
+            F.coalesce(_n("dup_cnt", 3).cast("double") / _n("total", 3), F.lit(0.0)).alias("dup3_frac"),
+        )
+        .withColumn(
+            "rep_ok",
+            (F.col("top1_frac") <= REP_TOP1_T)
+            & (F.col("top2_frac") <= REP_TOP2_T)
+            & (F.col("dup3_frac") <= REP_DUP3_T),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]) AS gram
+  FROM w WHERE len(ws) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN generate_series(1, len(ws) - 2)]) AS gram
+  FROM w WHERE len(ws) >= 3
+),
+cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+per AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS total, max(c) AS top_cnt,
+               CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_cnt
+        FROM cnt GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN total END) AS n_words,
+         CAST(max(CASE WHEN n = 1 THEN top_cnt END) AS DOUBLE)
+           / max(CASE WHEN n = 1 THEN total END) AS top1_frac,
+         coalesce(CAST(max(CASE WHEN n = 2 THEN top_cnt END) AS DOUBLE)
+           / max(CASE WHEN n = 2 THEN total END), 0.0) AS top2_frac,
+         coalesce(CAST(max(CASE WHEN n = 3 THEN dup_cnt END) AS DOUBLE)
+           / max(CASE WHEN n = 3 THEN total END), 0.0) AS dup3_frac
+  FROM per GROUP BY doc_id
+)
+SELECT *, (top1_frac <= {REP_TOP1_T} AND top2_frac <= {REP_TOP2_T}
+           AND dup3_frac <= {REP_DUP3_T}) AS rep_ok
+FROM rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# Line-level global dedup (CCNet / RefinedWeb style): hash each fixed-size
+# text segment ("line" — the synthetic corpus has no newlines, so the line
+# unit is a non-overlapping 10-word window), count how many documents share
+# each segment corpus-wide, and drop documents whose content is mostly
+# boilerplate segments seen elsewhere.
+#
+# Scale shape: explode to (doc_id, seg_hash) deduped within doc, then ONE
+# shuffle on the 60-bit segment hash (count per hash via a hash-partitioned
+# window — high-cardinality key, never global) and ONE shuffle back on
+# doc_id for the rollup. Segments travel as 8-byte longs, not strings.
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 10        # words per segment
+SEG_SHARED_T = 0.5    # drop a doc when >= this fraction of segments is shared
+
+# built over a pre-bound `ws` column so the text is split exactly once
+_SEGS = (
+    "transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1), "
+    "i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))"
+)
+_SEG_HASH = "cast(conv(substring(md5(seg), 1, 15), 16, 10) as bigint)"
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    segs = (
+        d.select("doc_id", F.expr(_WORDS).alias("ws"))
+        .select("doc_id", F.explode(F.expr(_SEGS)).alias("seg"))
+        .select("doc_id", F.expr(_SEG_HASH).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    seg_df = Window.partitionBy("h")
+    return (
+        segs.withColumn("df", F.count("*").over(seg_df))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.coalesce(F.sum(F.when(F.col("df") > 1, 1)), F.lit(0)).alias("n_shared"),
+            (
+                F.coalesce(F.sum(F.when(F.col("df") > 1, 1)), F.lit(0)).cast("double")
+                / F.count("*")
+            ).alias("shared_frac"),
+        )
+        .withColumn("keep", F.col("shared_frac") < SEG_SHARED_T)
+    )
+
+
+SQL_LINE_DEDUP = f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+segs AS (
+  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id,
+               unnest([array_to_string(ws[(i*10+1):(i*10+10)], ' ')
+                       FOR i IN generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)]) AS seg
+        FROM w)
+),
+seg_df AS (SELECT h, count(*) AS df FROM segs GROUP BY h)
+SELECT s.doc_id, count(*) AS n_segs,
+       CAST(coalesce(sum(CASE WHEN d.df > 1 THEN 1 END), 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(sum(CASE WHEN d.df > 1 THEN 1 END), 0) AS DOUBLE) / count(*) AS shared_frac,
+       (CAST(coalesce(sum(CASE WHEN d.df > 1 THEN 1 END), 0) AS DOUBLE) / count(*)
+        < {SEG_SHARED_T}) AS keep
+FROM segs s JOIN seg_df d USING (h) GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-temperature resampling (GPT-3 / Pile style): flatten the per-source
+# document distribution with a sqrt temperature, derive a per-source accept
+# rate targeting half the corpus, and take a deterministic md5-threshold
+# sample — the same doc set on every engine and every run.
+#
+# Determinism: weights use integer sqrt (floor(sqrt(n))) summed exactly as
+# bigints; each rate is ONE double division of two exact bigint products, so
+# the accept threshold floor(rate * 2^48) is bit-identical cross-engine.
+# Scale shape: per-source counts (map-side partial agg), a 1-row total
+# (true-constant broadcast), a rates dim joined back on source — AQE
+# broadcasts it while small, shuffles if the domain count ever isn't.
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_SCALE = 281474976710656  # 2^48, the md5-prefix hash space
+
+
+def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    tot = cnt.agg(
+        F.sum("n_src").alias("n_total"),
+        F.sum(F.floor(F.sqrt("n_src")).cast("bigint")).alias("sum_isqrt"),
+    )
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.least(
+            F.lit(1.0),
+            (F.floor(F.sqrt("n_src")).cast("bigint") * F.expr("n_total div 2")).cast("double")
+            / (F.col("sum_isqrt") * F.col("n_src")),
+        ).alias("rate"),
+    )
+    thresh = F.floor(F.col("rate") * F.lit(float(_RESAMPLE_SCALE))).cast("bigint")
+    h48 = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)")
+    return d.join(rates, "source").select(
+        "doc_id", "source", "n_src", "rate", (h48 < thresh).alias("sampled")
+    )
+
+
+SQL_DOMAIN_RESAMPLE = f"""
+WITH cnt AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_total,
+               CAST(sum(CAST(floor(sqrt(n_src)) AS BIGINT)) AS BIGINT) AS sum_isqrt
+        FROM cnt),
+rates AS (
+  SELECT c.source, c.n_src,
+         least(1.0, CAST(CAST(floor(sqrt(c.n_src)) AS BIGINT)
+                         * CAST(t.n_total // 2 AS BIGINT) AS DOUBLE)
+                    / (t.sum_isqrt * c.n_src)) AS rate
+  FROM cnt c, tot t
+)
+SELECT d.doc_id, d.source, r.n_src, r.rate,
+       (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+        < CAST(floor(r.rate * {_RESAMPLE_SCALE}.0) AS BIGINT)) AS sampled
+FROM documents d JOIN rates r USING (source)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -284,4 +515,18 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "corpus_retention": SQL_CORPUS_RETENTION,
+}
+
+# local tier: oracle-paired and pytest/check_parity-verified, kept off the
+# driver registry for its 8 KiB CORRECTNESS budget (see analytics/__init__.py)
+LOCAL_QUERIES = {
+    "text_repetition": text_repetition,
+    "line_dedup": line_dedup,
+    "domain_resample": domain_resample,
+}
+
+LOCAL_ORACLES = {
+    "text_repetition": SQL_TEXT_REPETITION,
+    "line_dedup": SQL_LINE_DEDUP,
+    "domain_resample": SQL_DOMAIN_RESAMPLE,
 }
