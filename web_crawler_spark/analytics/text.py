@@ -386,30 +386,31 @@ FROM rep
 # each segment corpus-wide, and drop documents whose content is mostly
 # boilerplate segments seen elsewhere.
 #
-# Scale shape: explode to (doc_id, seg_hash) deduped within doc, then ONE
-# shuffle on the 60-bit segment hash (count per hash via a hash-partitioned
-# window — high-cardinality key, never global) and ONE shuffle back on
-# doc_id for the rollup. Segments travel as 8-byte longs, not strings.
+# Scale shape: within-doc dedup is a LOCAL array_distinct before the explode
+# (no shuffle — the doc's segments are already one array), then ONE shuffle
+# on the 60-bit segment hash (count per hash via a hash-partitioned window —
+# high-cardinality key, never global) and ONE shuffle back on doc_id for the
+# rollup. Segments travel as 8-byte longs, not strings.
 # ---------------------------------------------------------------------------
 
 SEG_WORDS = 10        # words per segment
 SEG_SHARED_T = 0.5    # drop a doc when >= this fraction of segments is shared
 
-# built over a pre-bound `ws` column so the text is split exactly once
-_SEGS = (
-    "transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1), "
-    "i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))"
+# built over a pre-bound `ws` column so the text is split exactly once;
+# hashes each non-overlapping 10-word segment and dedups within the doc
+_SEG_HASHES = (
+    "array_distinct(transform("
+    "sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1), "
+    "i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i * 10 + 1, 10))), 1, 15), 16, 10)"
+    " as bigint)))"
 )
-_SEG_HASH = "cast(conv(substring(md5(seg), 1, 15), 16, 10) as bigint)"
 
 
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     segs = (
         d.select("doc_id", F.expr(_WORDS).alias("ws"))
-        .select("doc_id", F.explode(F.expr(_SEGS)).alias("seg"))
-        .select("doc_id", F.expr(_SEG_HASH).alias("h"))
-        .dropDuplicates(["doc_id", "h"])
+        .select("doc_id", F.explode(F.expr(_SEG_HASHES)).alias("h"))
     )
     seg_df = Window.partitionBy("h")
     return (
@@ -430,11 +431,10 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LINE_DEDUP = f"""
 WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
 segs AS (
-  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(seg), 1, 15) AS BIGINT) AS h
-  FROM (SELECT doc_id,
-               unnest([array_to_string(ws[(i*10+1):(i*10+10)], ' ')
-                       FOR i IN generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)]) AS seg
-        FROM w)
+  SELECT doc_id,
+         unnest(list_distinct([CAST('0x' || substr(md5(array_to_string(ws[(i*10+1):(i*10+10)], ' ')), 1, 15) AS BIGINT)
+                               FOR i IN generate_series(0, CAST(ceil(len(ws) / 10.0) AS INT) - 1)])) AS h
+  FROM w
 ),
 seg_df AS (SELECT h, count(*) AS df FROM segs GROUP BY h)
 SELECT s.doc_id, count(*) AS n_segs,
