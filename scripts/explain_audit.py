@@ -67,6 +67,13 @@ AUDITS = {
     # keeper-per-cluster verdict: the final grouped agg over star labels —
     # equi-joins/aggregations only, no cartesian anywhere in the lineage
     "image_dedup_clusters": ([], ["CartesianProduct"]),
+    # one tagged-gram explode + two hash aggs, all JVM-side; no window at all
+    "text_repetition": ([], ["Window", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # two exchanges only: segment-hash window (high-cardinality key) + doc_id
+    # rollup; within-doc dedup is a local array_distinct, never a shuffle
+    "line_dedup": (["Window"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # 1-row totals broadcast; rates dim un-hinted (AQE broadcasts when small)
+    "domain_resample": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
