@@ -74,6 +74,8 @@ AUDITS = {
     "line_dedup": (["Window"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # 1-row totals broadcast; rates dim un-hinted (AQE broadcasts when small)
     "domain_resample": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # four composed stages: equi-joins on doc_id only, no cartesian/Python
+    "corpus_pipeline_full": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 

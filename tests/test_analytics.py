@@ -244,3 +244,31 @@ def test_domain_resample_verdict(spark):
     assert abs(n_sampled - 250) < 60
     again = {r["doc_id"]: r["sampled"] for r in LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()}
     assert all(again[r["doc_id"]] == r["sampled"] for r in rows)
+
+
+def test_corpus_pipeline_full_verdict(spark):
+    """End-to-end curation verdict: reason precedence (retention reasons
+    first, then repetitive, boilerplate, downsampled) matches the component
+    verdicts, and each gate actually fires on this corpus."""
+    comp = {r["doc_id"]: r for r in LOCAL_QUERIES["corpus_pipeline_full"](spark, SF_DIR).collect()}
+    assert len(comp) == 500
+    ret = {r["doc_id"]: r["drop_reason"] for r in QUERIES["corpus_retention"](spark, SF_DIR).collect()}
+    rep = {r["doc_id"]: r["rep_ok"] for r in LOCAL_QUERIES["text_repetition"](spark, SF_DIR).collect()}
+    seg = {r["doc_id"]: r["keep"] for r in LOCAL_QUERIES["line_dedup"](spark, SF_DIR).collect()}
+    smp = {r["doc_id"]: r["sampled"] for r in LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()}
+    seen_reasons = set()
+    for doc_id, r in comp.items():
+        if ret[doc_id] != "kept":
+            want = ret[doc_id]
+        elif not rep[doc_id]:
+            want = "repetitive"
+        elif not seg[doc_id]:
+            want = "boilerplate"
+        elif not smp[doc_id]:
+            want = "downsampled"
+        else:
+            want = "kept"
+        assert r["drop_reason"] == want
+        assert r["keep"] == (want == "kept")
+        seen_reasons.add(want)
+    assert {"repetitive", "boilerplate", "downsampled", "kept"} <= seen_reasons

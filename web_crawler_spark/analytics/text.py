@@ -514,6 +514,65 @@ FROM documents d JOIN rates r USING (source)
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_pipeline_full: the end-to-end curation verdict a training-data
+# pipeline runs per document, composing every text-side stage in this module
+# into ONE declarative plan — retention (near-dup fingerprint + length +
+# quality), Gopher repetition gate, line-level boilerplate gate, and
+# domain-temperature resampling — with drop-reason precedence matching the
+# order a real pipeline applies them.
+#
+# Scale shape: each stage keeps its own bounded shuffle topology (documented
+# at its definition); composition adds three equi-joins on doc_id, which
+# all hash-partition on the same key — Catalyst prunes every stage to the
+# columns the verdict needs and AQE coalesces the co-keyed exchanges.
+# ---------------------------------------------------------------------------
+
+
+def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ret = corpus_retention(spark, sf_dir).select(
+        "doc_id", F.col("drop_reason").alias("ret_reason")
+    )
+    rep = text_repetition(spark, sf_dir).select("doc_id", "rep_ok")
+    seg = line_dedup(spark, sf_dir).select("doc_id", F.col("keep").alias("seg_keep"))
+    smp = domain_resample(spark, sf_dir).select("doc_id", "sampled")
+    reason = (
+        F.when(F.col("ret_reason") != "kept", F.col("ret_reason"))
+        .when(~F.col("rep_ok"), F.lit("repetitive"))
+        .when(~F.col("seg_keep"), F.lit("boilerplate"))
+        .when(~F.col("sampled"), F.lit("downsampled"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ret.join(rep, "doc_id")
+        .join(seg, "doc_id")
+        .join(smp, "doc_id")
+        .withColumn("drop_reason", reason)
+        .select(
+            "doc_id", "drop_reason", (F.col("drop_reason") == "kept").alias("keep")
+        )
+    )
+
+
+SQL_CORPUS_PIPELINE_FULL = f"""
+WITH ret AS ({SQL_CORPUS_RETENTION}),
+rep AS ({{sql_rep}}),
+seg AS ({{sql_seg}}),
+smp AS ({{sql_smp}}),
+v AS (
+  SELECT r.doc_id,
+         CASE WHEN r.drop_reason != 'kept' THEN r.drop_reason
+              WHEN NOT p.rep_ok THEN 'repetitive'
+              WHEN NOT s.keep THEN 'boilerplate'
+              WHEN NOT m.sampled THEN 'downsampled'
+              ELSE 'kept' END AS drop_reason
+  FROM ret r JOIN rep p USING (doc_id) JOIN seg s USING (doc_id)
+       JOIN smp m USING (doc_id)
+)
+SELECT doc_id, drop_reason, (drop_reason = 'kept') AS keep FROM v
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -532,10 +591,14 @@ LOCAL_QUERIES = {
     "text_repetition": text_repetition,
     "line_dedup": line_dedup,
     "domain_resample": domain_resample,
+    "corpus_pipeline_full": corpus_pipeline_full,
 }
 
 LOCAL_ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
     "domain_resample": SQL_DOMAIN_RESAMPLE,
+    "corpus_pipeline_full": SQL_CORPUS_PIPELINE_FULL.format(
+        sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP, sql_smp=SQL_DOMAIN_RESAMPLE
+    ),
 }
