@@ -228,3 +228,94 @@ def test_stream_phash_neardup_matches_batch(spark, tmp_path):
                 if r["image_id"].endswith("-v")}
     matched = {img for (img, _) in got}
     assert variants <= matched
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """Ingest-time curation stream: the complete-mode verdict over a static
+    source equals its batch twin row-for-row, and each gate's semantics
+    match the batch analytics components (text_fingerprint/text_quality/
+    text_repetition) plus pure-Python replicas of the segment and sampling
+    probes on the same documents."""
+    import hashlib
+    import math
+    import re
+
+    from web_crawler_spark.analytics import LOCAL_QUERIES, QUERIES
+    from web_crawler_spark.analytics.text import (
+        MIN_WORDS,
+        QUALITY_T,
+        SEG_SHARED_T,
+        _RESAMPLE_SCALE,
+    )
+    from web_crawler_spark.streaming import stream_curate
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 250)    # the accepted index side
+    arriving = docs.filter(F.col("doc_id") >= 250)   # the stream (same 20 sources)
+    src = tmp_path / "doc_stream"
+    arriving.write.parquet(str(src))
+
+    fp, segs, rates = stream_curate.build_indexes(spark, corpus)
+    fp, segs, rates = fp.cache(), segs.cache(), rates.cache()
+
+    q = stream_curate.run_to_memory(
+        stream_curate.curate_stream(spark, str(src), fp, segs, rates), name="curate_t"
+    )
+    try:
+        got = {r["doc_id"]: r["drop_reason"] for r in spark.table("curate_t").collect()}
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: r["drop_reason"]
+        for r in stream_curate.curate_batch(spark, str(src), fp, segs, rates).collect()
+    }
+    assert got == want and len(got) == 250
+
+    # cross-check each gate against the batch components / python replicas
+    fng = {r["doc_id"]: r["fingerprint"] for r in QUERIES["text_fingerprint"](spark, sf_dir).collect()}
+    idx_fps = {fng[i] for i in fng if i < 250}
+    quality = {r["doc_id"]: (r["quality"], r["n_words"]) for r in QUERIES["text_quality"](spark, sf_dir).collect()}
+    rep = {r["doc_id"]: r["rep_ok"] for r in LOCAL_QUERIES["text_repetition"](spark, sf_dir).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rate_by_src = {r["source"]: r["rate"] for r in rates.collect()}
+    src_of = {r["doc_id"]: r["source"] for r in docs.collect()}
+
+    def seg_hashes(text):
+        ws = re.split(r"\s+", text.strip().lower())
+        out = []
+        for i in range(math.ceil(len(ws) / 10)):
+            seg = " ".join(ws[i * 10:i * 10 + 10])
+            out.append(int(hashlib.md5(seg.encode()).hexdigest()[:15], 16))
+        return list(dict.fromkeys(out))
+
+    idx_segs = set()
+    for i in texts:
+        if i < 250:
+            idx_segs.update(seg_hashes(texts[i]))
+
+    n_reasons = {}
+    for doc_id, reason in got.items():
+        qual, n_words = quality[doc_id]
+        hs = seg_hashes(texts[doc_id])
+        shared = sum(1 for h in hs if h in idx_segs)
+        rate = rate_by_src.get(src_of[doc_id], 1.0)
+        h48 = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+        if fng[doc_id] in idx_fps:
+            exp = "near_duplicate"
+        elif n_words < MIN_WORDS:
+            exp = "too_short"
+        elif qual < QUALITY_T:
+            exp = "low_quality"
+        elif not rep[doc_id]:
+            exp = "repetitive"
+        elif shared / len(hs) >= SEG_SHARED_T:
+            exp = "boilerplate"
+        elif h48 >= math.floor(rate * _RESAMPLE_SCALE):
+            exp = "downsampled"
+        else:
+            exp = "kept"
+        assert reason == exp, f"doc {doc_id}: {reason} != {exp}"
+        n_reasons[reason] = n_reasons.get(reason, 0) + 1
+    # the corpus exercises the precedence chain
+    assert {"repetitive", "downsampled", "kept"} <= set(n_reasons)

@@ -472,14 +472,21 @@ FROM segs s JOIN seg_df d USING (h) GROUP BY s.doc_id
 _RESAMPLE_SCALE = 281474976710656  # 2^48, the md5-prefix hash space
 
 
-def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    cnt = d.groupBy("source").agg(F.count("*").alias("n_src"))
+# deterministic per-doc accept test: 48-bit md5 prefix of the doc id vs the
+# rate threshold (shared by the batch query and the ingest-time stream twin)
+SAMPLE_HASH = "cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+
+
+def source_rates(docs: DataFrame) -> DataFrame:
+    """(source, n_src, rate) — sqrt-temperature accept rates targeting half
+    of *docs*. Shared by `domain_resample` and the curation stream's static
+    rates index."""
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_src"))
     tot = cnt.agg(
         F.sum("n_src").alias("n_total"),
         F.sum(F.floor(F.sqrt("n_src")).cast("bigint")).alias("sum_isqrt"),
     )
-    rates = cnt.crossJoin(F.broadcast(tot)).select(
+    return cnt.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_src",
         F.least(
@@ -488,10 +495,14 @@ def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sum_isqrt") * F.col("n_src")),
         ).alias("rate"),
     )
+
+
+def domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = source_rates(d)
     thresh = F.floor(F.col("rate") * F.lit(float(_RESAMPLE_SCALE))).cast("bigint")
-    h48 = F.expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)")
     return d.join(rates, "source").select(
-        "doc_id", "source", "n_src", "rate", (h48 < thresh).alias("sampled")
+        "doc_id", "source", "n_src", "rate", (F.expr(SAMPLE_HASH) < thresh).alias("sampled")
     )
 
 
