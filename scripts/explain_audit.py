@@ -76,6 +76,10 @@ AUDITS = {
     "domain_resample": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
     # four composed stages: equi-joins on doc_id only, no cartesian/Python
     "corpus_pipeline_full": ([], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # metadata-only gates over the bucketed pair graph (Python appears only
+    # in the synthetic-images generator mapInPandas, as with the other image
+    # queries); no cartesian anywhere
+    "image_curate": ([], ["CartesianProduct"]),
 }
 
 

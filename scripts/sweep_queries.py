@@ -30,16 +30,24 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/dev/shm/wcs-sf1")
     ap.add_argument("--out", default=None)
-    ap.add_argument("--skip", nargs="*", default=["crawl_bfs"],
-                    help="queries to skip (crawl_bfs runs a full engine crawl; "
-                         "its throughput is bench.py's crawl leg, not a query)")
+    ap.add_argument("--skip", nargs="*",
+                    default=["crawl_bfs", "embed_neardup", "embed_dedup_clusters"],
+                    help="queries to skip (crawl_bfs runs a full engine crawl — "
+                         "its throughput is bench.py's crawl leg, not a query; "
+                         "embed_neardup and the cluster verdict built on it are "
+                         "the cardinality-guarded all-pairs BASELINES: measured "
+                         "once at sf1 = 610 s vs 10 s for the bucketed "
+                         "embed_neardup_lsh scale path, SWEEP_r3h — pass "
+                         "--skip to override)")
     args = ap.parse_args()
 
     from canary import canary_sec
 
     from bench import run_query
-    from web_crawler_spark.analytics import QUERIES
+    from web_crawler_spark.analytics import LOCAL_QUERIES, QUERIES
     from web_crawler_spark.session import get_spark
+
+    QUERIES = {**QUERIES, **LOCAL_QUERIES}  # sweep both registry tiers
 
     canary_start = canary_sec()
     os.makedirs("/dev/shm/wcs-sweep", exist_ok=True)

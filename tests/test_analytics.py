@@ -272,3 +272,28 @@ def test_corpus_pipeline_full_verdict(spark):
         assert r["keep"] == (want == "kept")
         seen_reasons.add(want)
     assert {"repetitive", "boilerplate", "downsampled", "kept"} <= seen_reasons
+
+
+def test_image_curate_verdict(spark):
+    """LAION-style image curation: planted variants drop as near-duplicates
+    (base is the cluster keeper), metadata gates match the w/h columns with
+    the documented precedence, and every gate fires on this corpus."""
+    from web_crawler_spark.analytics.multimodal import IMG_MAX_ASPECT, IMG_MIN_SIDE
+
+    rows = {r["image_id"]: r for r in LOCAL_QUERIES["image_curate"](spark, SF_DIR).collect()}
+    assert len(rows) == 250  # 200 bases + 50 variants
+    seen = set()
+    for iid, r in rows.items():
+        if r["drop_reason"] == "near_duplicate":
+            pass  # cluster membership asserted via the variant check below
+        elif min(r["w"], r["h"]) < IMG_MIN_SIDE:
+            assert r["drop_reason"] == "too_small"
+        elif max(r["w"], r["h"]) > IMG_MAX_ASPECT * min(r["w"], r["h"]):
+            assert r["drop_reason"] == "bad_aspect"
+        else:
+            assert r["drop_reason"] == "kept"
+        assert r["keep"] == (r["drop_reason"] == "kept")
+        seen.add(r["drop_reason"])
+    # every planted variant sorts after its base -> never the keeper
+    assert all(rows[i]["drop_reason"] == "near_duplicate" for i in rows if i.endswith("-v"))
+    assert {"near_duplicate", "too_small", "bad_aspect", "kept"} <= seen

@@ -380,6 +380,45 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LAION-style image curation gates (metadata-only — the phash/w/h columns
+# are ingest-time metadata, so the verdict plan never touches the bytes)
+IMG_MIN_SIDE = 24    # drop images whose short side is under this
+IMG_MAX_ASPECT = 2   # drop images with max(w,h) > this * min(w,h)
+
+
+def image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image keep/drop curation verdict — the image twin of
+    `text.corpus_pipeline_full`: near-duplicate gate (non-keeper members of
+    the phash cluster graph, same star labels as `image_dedup_clusters`),
+    then minimum-resolution and aspect-ratio gates on the metadata columns,
+    with drop-reason precedence. No decode anywhere in the plan; at 10^10
+    images the only wide ops are the bucketed pair join and one label join."""
+    from .dedup import _star_labels
+
+    imgs = _images_with_variants(spark, sf_dir).select("image_id", "w", "h", "phash")
+    pairs = image_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("doc_a"), F.col("img_b").alias("doc_b")
+    )
+    labels = _star_labels(pairs)
+    reason = (
+        F.when(
+            F.col("label").isNotNull() & (F.col("label") != F.col("image_id")),
+            F.lit("near_duplicate"),
+        )
+        .when(F.least("w", "h") < IMG_MIN_SIDE, F.lit("too_small"))
+        .when(F.greatest("w", "h") > IMG_MAX_ASPECT * F.least("w", "h"), F.lit("bad_aspect"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        imgs.join(labels, imgs.image_id == labels.doc, "left")
+        .withColumn("drop_reason", reason)
+        .select(
+            "image_id", "w", "h", "drop_reason",
+            (F.col("drop_reason") == "kept").alias("keep"),
+        )
+    )
+
+
 def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side benchmark decontamination: flag training images within
     phash Hamming <= IMG_HAMMING_T of ANY held-out benchmark image — the
@@ -497,6 +536,19 @@ def _expected_phashes() -> list[tuple]:
         if i % VARIANT_EVERY == 0:
             v = imagecodec.variant_row(iid, seed=42)
             out.append((v["image_id"], v["phash"]))
+    return out
+
+
+def _expected_dims() -> list[tuple]:
+    """Driver-side (image_id, w, h) ground truth for base + variant images
+    (a variant keeps its base's dimensions — imagecodec.variant_row)."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r = imagecodec.image_row(iid, seed=42)
+        out.append((iid, r["w"], r["h"]))
+        if i % VARIANT_EVERY == 0:
+            out.append((f"{iid}-v", r["w"], r["h"]))
     return out
 
 
@@ -889,6 +941,44 @@ SELECT r.doc_id, r.keep AS text_keep,
 FROM ret r LEFT JOIN status st USING (doc_id)
 """
 
+# LAION-style curation verdict: star labels (recursive-CTE oracle) + the
+# metadata gates over the expected-dims VALUES table
+SQL_IMAGE_CURATE = f"""
+WITH dims(image_id, w, h) AS (
+  VALUES {{dims}}
+),
+sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {{n_images}})),
+ids AS (
+  SELECT image_id FROM sel
+  UNION ALL
+  SELECT image_id || '-v' FROM sel WHERE doc_id % {{variant_every}} = 0
+),
+imgs AS (SELECT d.image_id, d.w, d.h FROM ids JOIN dims d USING (image_id)),
+labels AS (
+  SELECT doc, min(r) AS label FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT img_a AS a, img_b AS b FROM ({{neardup}}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+),
+v AS (
+  SELECT i.image_id, i.w, i.h,
+         CASE WHEN l.label IS NOT NULL AND l.label != i.image_id THEN 'near_duplicate'
+              WHEN least(i.w, i.h) < {IMG_MIN_SIDE} THEN 'too_small'
+              WHEN greatest(i.w, i.h) > {IMG_MAX_ASPECT} * least(i.w, i.h) THEN 'bad_aspect'
+              ELSE 'kept' END AS drop_reason
+  FROM imgs i LEFT JOIN labels l ON l.doc = i.image_id
+)
+SELECT image_id, w, h, drop_reason, (drop_reason = 'kept') AS keep FROM v
+"""
+
 # image_dedup_clusters lives in the local tier: its capability is already
 # driver-evidenced twice over — the verdict pattern by dedup_clusters (text)
 # and the image pair source by image_phash_neardup — and demoting it buys the
@@ -896,8 +986,15 @@ FROM ret r LEFT JOIN status st USING (doc_id)
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
+    "image_curate": image_curate,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE,
     "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
+    "image_curate": SQL_IMAGE_CURATE.format(
+        dims=_values(_expected_dims()),
+        n_images=N_IMAGES,
+        variant_every=VARIANT_EVERY,
+        neardup=_SQL_NEARDUP_FLAT,
+    ),
 }
