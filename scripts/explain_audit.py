@@ -80,6 +80,8 @@ AUDITS = {
     # in the synthetic-images generator mapInPandas, as with the other image
     # queries); no cartesian anywhere
     "image_curate": ([], ["CartesianProduct"]),
+    # map-only transform pipeline: no join of any kind in the plan
+    "image_thumbnail": ([], ["CartesianProduct", "Join"]),
 }
 
 

@@ -274,6 +274,26 @@ def test_corpus_pipeline_full_verdict(spark):
     assert {"repetitive", "boilerplate", "downsampled", "kept"} <= seen_reasons
 
 
+def test_image_thumbnail_roundtrip(spark):
+    """The resize transform emits REAL binaries: decode every emitted
+    thumbnail, check dims = ceil(src/4), and check pixels equal the
+    pure-Python block-mean resize of the source image's decoded pixels."""
+    import numpy as np
+
+    from web_crawler_spark.analytics.multimodal import N_IMAGES, _thumbnails
+    from web_crawler_spark.core import imagecodec
+
+    rows = _thumbnails(spark, SF_DIR).collect()
+    assert len(rows) == N_IMAGES
+    for r in rows:
+        assert r["tw"] == -(-r["w"] // imagecodec.THUMB_FACTOR)
+        assert r["th"] == -(-r["h"] // imagecodec.THUMB_FACTOR)
+        px, tw, th, fmt = imagecodec.decode(bytes(r["thumb"]))
+        assert (tw, th, fmt) == (r["tw"], r["th"], "png")
+        src, _, _, _ = imagecodec.decode(imagecodec.image_row(r["image_id"], seed=42)["bytes"])
+        assert np.array_equal(px, imagecodec.resize_block_mean(src))
+
+
 def test_image_curate_verdict(spark):
     """LAION-style image curation: planted variants drop as near-duplicates
     (base is the cluster keeper), metadata gates match the w/h columns with

@@ -29,6 +29,7 @@ ground truth.
 from __future__ import annotations
 
 import math
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -419,6 +420,58 @@ def image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("tw", T.IntegerType(), True),
+        T.StructField("th", T.IntegerType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+    ]
+)
+
+
+def _thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize TRANSFORM of the decode / feature-extract / resize /
+    frame-sample quartet: decode → block-mean area resize → re-encode, one
+    Arrow pass, emitting a NEW binary column (the other image stages only
+    read binaries). Map-only — no shuffle at any scale; at 10^10 images this
+    is a mapInPandas over the bucketed images table with output written
+    partition-aligned. Undecodable inputs pass through with null thumb
+    (production semantics: flagged, not fatal)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px, w, h, _fmt = imagecodec.decode(bytes(data))
+                except ValueError:
+                    rows.append((iid, None, None, None, None, None))
+                    continue
+                tp = imagecodec.resize_block_mean(px)
+                rows.append(
+                    (iid, w, h, tp.shape[1], tp.shape[0], imagecodec.encode(tp, "png"))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return _images(spark, sf_dir).mapInPandas(resize, THUMB_SCHEMA)
+
+
+def image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered projection of the thumbnail transform: drops the binary
+    column and pins it EXACTLY via the JVM-side crc32 over the emitted
+    bytes — so parity proves the numpy-resized, re-encoded binary crossed
+    Arrow into the JVM intact (the oracle's crc is pure-Python zlib over an
+    independent single-process run of the same codec)."""
+    return _thumbnails(spark, sf_dir).select(
+        "image_id", "w", "h", "tw", "th",
+        F.length("thumb").alias("thumb_len"),
+        F.crc32("thumb").alias("thumb_crc"),
+    )
+
+
 def image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-side benchmark decontamination: flag training images within
     phash Hamming <= IMG_HAMMING_T of ANY held-out benchmark image — the
@@ -536,6 +589,21 @@ def _expected_phashes() -> list[tuple]:
         if i % VARIANT_EVERY == 0:
             v = imagecodec.variant_row(iid, seed=42)
             out.append((v["image_id"], v["phash"]))
+    return out
+
+
+def _expected_thumbs() -> list[tuple]:
+    """Driver-side thumbnail ground truth — same codec path run pure-Python
+    in-process, crc via zlib (vs Spark's JVM java.util.zip.CRC32: same
+    polynomial, so a mismatch means the bytes differ)."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r = imagecodec.image_row(iid, seed=42)
+        px, w, h, _fmt = imagecodec.decode(r["bytes"])
+        tp = imagecodec.resize_block_mean(px)
+        tb = imagecodec.encode(tp, "png")
+        out.append((iid, w, h, tp.shape[1], tp.shape[0], len(tb), zlib.crc32(tb)))
     return out
 
 
@@ -979,6 +1047,18 @@ v AS (
 SELECT image_id, w, h, drop_reason, (drop_reason = 'kept') AS keep FROM v
 """
 
+# resize-transform oracle: pure metadata join against the independently
+# computed (pure-Python, zlib-crc) thumbnail ground truth
+SQL_IMAGE_THUMBNAIL = """
+WITH expected(image_id, w, h, tw, th, thumb_len, thumb_crc) AS (
+  VALUES {values}
+),
+{img_sel}
+SELECT e.image_id, e.w, e.h, e.tw, e.th, e.thumb_len,
+       CAST(e.thumb_crc AS BIGINT) AS thumb_crc
+FROM sel JOIN expected e USING (image_id)
+"""
+
 # image_dedup_clusters lives in the local tier: its capability is already
 # driver-evidenced twice over — the verdict pattern by dedup_clusters (text)
 # and the image pair source by image_phash_neardup — and demoting it buys the
@@ -987,6 +1067,7 @@ LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
     "image_curate": image_curate,
+    "image_thumbnail": image_thumbnail,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE,
@@ -996,5 +1077,8 @@ LOCAL_ORACLES = {
         n_images=N_IMAGES,
         variant_every=VARIANT_EVERY,
         neardup=_SQL_NEARDUP_FLAT,
+    ),
+    "image_thumbnail": SQL_IMAGE_THUMBNAIL.format(
+        values=_values(_expected_thumbs()), img_sel=_img_sel(N_IMAGES)
     ),
 }

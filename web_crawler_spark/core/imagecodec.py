@@ -121,6 +121,24 @@ def features(pixels: np.ndarray) -> dict:
     }
 
 
+THUMB_FACTOR = 4  # linear downsample factor of the thumbnail transform
+
+
+def resize_block_mean(pixels: np.ndarray, factor: int = THUMB_FACTOR) -> np.ndarray:
+    """Deterministic area resize: edge-pad to a multiple of *factor*, then
+    block-mean each factor×factor tile per channel (float64 means, truncated
+    to uint8). Stand-in for a real area-interpolation resize — swapping in
+    PIL/libvips changes only this function; the Spark-side binary-in /
+    binary-out transform plumbing is what the engine tests."""
+    h, w, _ = pixels.shape
+    ph, pw = (-h) % factor, (-w) % factor
+    if ph or pw:
+        pixels = np.pad(pixels, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    th, tw = pixels.shape[0] // factor, pixels.shape[1] // factor
+    blocks = pixels.astype(np.float64).reshape(th, factor, tw, factor, 3).mean(axis=(1, 3))
+    return blocks.astype(np.uint8)
+
+
 def variant_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     """Near-duplicate of *image_id*'s reference pixels: every 5th pixel in each
     axis gets bit 2 flipped (±4 of 255 on 1/25 of pixels). Block means move
