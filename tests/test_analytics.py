@@ -294,6 +294,22 @@ def test_image_thumbnail_roundtrip(spark):
         assert np.array_equal(px, imagecodec.resize_block_mean(src))
 
 
+def test_image_caption_align_gate(spark):
+    """Matched (image, caption) pairs score exactly 1.0 and pass the gate;
+    every planted miscaptioned image scores far below it and gates out."""
+    from web_crawler_spark.analytics.multimodal import ALIGN_T, N_IMAGES, N_MISCAP
+
+    rows = LOCAL_QUERIES["image_caption_align"](spark, SF_DIR).collect()
+    assert len(rows) == N_IMAGES
+    for r in rows:
+        planted = int(r["image_id"][4:]) % N_MISCAP == 0
+        assert r["keep"] == (not planted)
+        if planted:
+            assert abs(r["align_sim"]) < ALIGN_T / 2
+        else:
+            assert r["align_sim"] == 1.0
+
+
 def test_image_curate_verdict(spark):
     """LAION-style image curation: planted variants drop as near-duplicates
     (base is the cluster keeper), metadata gates match the w/h columns with

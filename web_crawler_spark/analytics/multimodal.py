@@ -420,6 +420,68 @@ def image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# image-text alignment gate (the LAION/CLIP-score curation stage)
+N_MISCAP = 13     # every Nth image carries another image's caption (planted noise)
+MISCAP_SHIFT = 7  # ... specifically the caption of doc (id + SHIFT) % N_IMAGES
+ALIGN_T = 0.9     # keep gate; planted mismatches measure |cos| <= 0.34 on this corpus
+
+
+def image_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-text alignment gate: score every (image, caption)
+    pair by cosine in a shared embedding space, keep pairs scoring >= ALIGN_T.
+
+    Two-tower stand-in (real encoders aren't in this container): the vision
+    tower is the precomputed per-image embedding table — at ingest a real
+    image encoder would mapInPandas the binaries into exactly this shape
+    (the feature stage of `multimodal_image`); the text tower resolves the
+    caption's referenced payload id into the same space (regexp tokenizer +
+    embedding lookup), so a caption that describes a DIFFERENT image lands
+    on that image's vector. Planted noise: every N_MISCAP-th image carries
+    another image's caption and must gate out (matched pairs score 1.0,
+    planted mismatches <= 0.34 here — the gate has real margin).
+
+    Scale shape: two equi-joins on the embedding key and per-row codegen
+    dot products (`similarity._flat_dot`); norms computed once per vector
+    before the joins, never per pair. At 10^10 pairs both joins shuffle on
+    the id — no similarity self-join anywhere (this is 1:1 scoring, not
+    retrieval; retrieval is embed_lsh_ann/embed_ivf_ann's job)."""
+    from .similarity import _flat_dot
+
+    doc_id = F.substring("image_id", 5, 20).cast("bigint")
+    miscap = F.concat(
+        F.lit("caption for img-"),
+        ((doc_id + MISCAP_SHIFT) % N_IMAGES).cast("string"),
+    )
+    caps = (
+        _images(spark, sf_dir)
+        .select(
+            "image_id",
+            F.when(doc_id % N_MISCAP == 0, miscap).otherwise(F.col("caption")).alias("caption"),
+            doc_id.alias("doc_id"),
+        )
+        .withColumn("ref_id", F.regexp_extract("caption", r"img-(\d+)$", 1).cast("bigint"))
+    )
+    normed = table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(_flat_dot("embedding", "embedding"))
+    )
+    v = normed.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vemb"),
+                      F.col("nrm").alias("vn"))
+    t = normed.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("temb"),
+                      F.col("nrm").alias("tn"))
+    return (
+        caps.join(v, caps.doc_id == v.vid)
+        .join(t, caps.ref_id == t.tid)
+        .withColumn(
+            "align_sim",
+            F.round(_flat_dot("vemb", "temb") / (F.col("vn") * F.col("tn")), 6),
+        )
+        .select(
+            "image_id", "align_sim",
+            (F.col("align_sim") >= ALIGN_T).alias("keep"),
+        )
+    )
+
+
 THUMB_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),
@@ -1059,6 +1121,36 @@ SELECT e.image_id, e.w, e.h, e.tw, e.th, e.thumb_len,
 FROM sel JOIN expected e USING (image_id)
 """
 
+def _sql_caption_align() -> str:
+    # import here: similarity's DuckDB dot helper (1-indexed list comprehension,
+    # same left-to-right float sum as Spark's _flat_dot — see similarity.py)
+    from .similarity import _sql_dot
+
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+sel AS (SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_IMAGES})),
+cap AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, doc_id,
+         CASE WHEN doc_id % {N_MISCAP} = 0
+              THEN (doc_id + {MISCAP_SHIFT}) % {N_IMAGES}
+              ELSE doc_id END AS ref_id
+  FROM sel
+),
+sims AS (
+  SELECT c.image_id,
+         round({_sql_dot('v.embedding', 't.embedding')} / (v.nrm * t.nrm), 6) AS align_sim
+  FROM cap c
+  JOIN normed v ON v.vec_id = c.doc_id
+  JOIN normed t ON t.vec_id = c.ref_id
+)
+SELECT image_id, align_sim, (align_sim >= {ALIGN_T}) AS keep FROM sims
+"""
+
+
 # image_dedup_clusters lives in the local tier: its capability is already
 # driver-evidenced twice over — the verdict pattern by dedup_clusters (text)
 # and the image pair source by image_phash_neardup — and demoting it buys the
@@ -1068,6 +1160,7 @@ LOCAL_QUERIES = {
     "image_dedup_clusters": image_dedup_clusters,
     "image_curate": image_curate,
     "image_thumbnail": image_thumbnail,
+    "image_caption_align": image_caption_align,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE,
@@ -1081,4 +1174,5 @@ LOCAL_ORACLES = {
     "image_thumbnail": SQL_IMAGE_THUMBNAIL.format(
         values=_values(_expected_thumbs()), img_sel=_img_sel(N_IMAGES)
     ),
+    "image_caption_align": _sql_caption_align(),
 }
