@@ -319,3 +319,75 @@ def test_stream_curate_matches_batch(spark, tmp_path):
         n_reasons[reason] = n_reasons.get(reason, 0) + 1
     # the corpus exercises the precedence chain
     assert {"repetitive", "downsampled", "kept"} <= set(n_reasons)
+
+
+def test_stream_curate_image_matches_batch(spark, tmp_path):
+    """Ingest-time image curation stream: the complete-mode verdict over a
+    static source equals its batch twin row-for-row, and every gate fires
+    with the expected python-replica semantics — arriving variants of
+    INDEXED bases drop as near_duplicate, variants of un-indexed bases fall
+    through to the metadata gates, planted miscaptions gate out as
+    misaligned, and an unresolvable caption reference defaults to accept."""
+    from web_crawler_spark.analytics.multimodal import (
+        IMG_MAX_ASPECT,
+        IMG_MIN_SIDE,
+        _images_with_variants,
+    )
+    from web_crawler_spark.streaming import stream_curate_image
+
+    sf_dir = "/root/testdata/sf0.001"
+    all_imgs = _images_with_variants(spark, sf_dir)
+    doc = F.regexp_extract("image_id", r"^img-(\d+)", 1).cast("bigint")
+    is_var = F.col("image_id").endswith("-v")
+    # accepted corpus/index = bases img-0..99; arriving = img-100..199 + ALL variants
+    corpus = all_imgs.filter((doc < 100) & ~is_var)
+    miscap = F.concat(F.lit("caption for img-"), ((doc + 7) % 200).cast("string"))
+    arriving = (
+        all_imgs.filter((doc >= 100) | is_var)
+        .withColumn(
+            "caption",
+            F.when((doc % 13 == 0) & ~is_var, miscap)
+            .when(doc == 101, F.lit("caption for img-9999"))  # unresolvable ref
+            .otherwise(F.col("caption")),
+        )
+    )
+    src = tmp_path / "img_curate_stream"
+    arriving.write.parquet(str(src))
+
+    index = stream_curate_image.build_index(corpus).cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    q = stream_curate_image.run_to_memory(
+        stream_curate_image.curate_stream(spark, str(src), index, emb), name="img_curate_t"
+    )
+    try:
+        got = {r["image_id"]: (r["drop_reason"], r["keep"])
+               for r in spark.table("img_curate_t").collect()}
+    finally:
+        q.stop()
+    want = {
+        r["image_id"]: (r["drop_reason"], r["keep"])
+        for r in stream_curate_image.curate_batch(spark, str(src), index, emb).collect()
+    }
+    assert got == want and len(got) == 150  # 100 fresh bases + 50 variants
+
+    dims = {r["image_id"]: (r["w"], r["h"]) for r in arriving.collect()}
+    seen = set()
+    for iid, (reason, keep) in got.items():
+        base_id = int(iid[4:].removesuffix("-v"))
+        w, h = dims[iid]
+        if iid.endswith("-v") and base_id < 100:
+            exp = "near_duplicate"  # base is in the static index
+        elif min(w, h) < IMG_MIN_SIDE:
+            exp = "too_small"
+        elif max(w, h) > IMG_MAX_ASPECT * min(w, h):
+            exp = "bad_aspect"
+        elif base_id % 13 == 0 and not iid.endswith("-v"):
+            exp = "misaligned"  # planted wrong caption, resolvable ref
+        else:
+            exp = "kept"  # incl. img-101's unresolvable ref -> default accept
+        assert reason == exp, f"{iid}: {reason} != {exp}"
+        assert keep == (reason == "kept")
+        seen.add(reason)
+    assert {"near_duplicate", "too_small", "bad_aspect", "misaligned", "kept"} <= seen
+    assert got["img-101"][0] in ("kept", "too_small", "bad_aspect")
