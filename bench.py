@@ -49,6 +49,11 @@ HEADLINE = [
     "approx_distinct_kmv",
     "corpus_pipeline",
     "corpus_decontaminate",
+    # round-3 local-tier flagships: full text-curation verdict + image tier
+    "corpus_pipeline_full",
+    "image_curate",
+    "image_thumbnail",
+    "image_caption_align",
 ]
 
 
@@ -104,8 +109,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_crawl = int(os.environ.get("WCS_BENCH_CRAWL_URLS", "20000"))
 
-    from web_crawler_spark.analytics import QUERIES
+    from web_crawler_spark.analytics import LOCAL_QUERIES, QUERIES
     from web_crawler_spark.session import get_spark
+
+    QUERIES = {**QUERIES, **LOCAL_QUERIES}  # headline spans both registry tiers
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
     from canary import canary_sec
