@@ -85,6 +85,9 @@ AUDITS = {
     # 1:1 two-tower scoring: equi-joins on the embedding key only — never a
     # similarity self-join (retrieval is the ANN queries' job)
     "image_caption_align": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # three composed verdict legs (text retention, phash star labels,
+    # caption alignment) joined on doc_id equi-joins only
+    "corpus_multimodal_pipeline": ([], ["CartesianProduct"]),
 }
 
 

@@ -160,23 +160,32 @@ def test_embed_dedup_clusters_verdict(spark):
 
 
 def test_corpus_multimodal_pipeline_verdict(spark):
-    """Cross-modal verdict semantics: redundant images sink otherwise-kept
-    docs, docs without images pass on the text verdict alone, and statuses
-    partition the image-bearing prefix."""
+    """Cross-modal verdict semantics: redundant images and misaligned
+    captions sink otherwise-kept docs, docs without images pass on the text
+    verdict alone, and statuses partition the image-bearing prefix."""
     from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.analytics.multimodal import N_MISCAP
 
     rows = LOCAL_QUERIES["corpus_multimodal_pipeline"](spark, SF_DIR).collect()
     assert len(rows) == 500  # one verdict per document
     by_status = {}
+    n_misaligned = 0
     for r in rows:
         by_status.setdefault(r["image_status"], 0)
         by_status[r["image_status"]] += 1
-        if r["image_status"] == "redundant":
-            assert not r["keep"]
-        elif r["image_status"] == "none":
+        if r["image_status"] == "none":
+            assert r["caption_status"] == "none"
             assert r["keep"] == r["text_keep"]
+            continue
+        # image-bearing prefix: alignment status follows the planted rule
+        planted = r["doc_id"] % N_MISCAP == 0
+        assert r["caption_status"] == ("misaligned" if planted else "aligned")
+        n_misaligned += planted
+        if r["image_status"] == "redundant" or planted:
+            assert not r["keep"]
         else:
             assert r["keep"] == r["text_keep"]
+    assert n_misaligned == 16  # doc_ids 0, 13, ..., 195
     # the image-bearing prefix (first 200 docs): every 4th base image has a
     # planted `-v` variant, and the base is always the lexicographic cluster
     # minimum — so doc-attached images are 'keeper' (50) or 'unique' (150),

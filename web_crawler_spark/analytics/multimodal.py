@@ -442,9 +442,17 @@ def image_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two equi-joins on the embedding key and per-row codegen
     dot products (`similarity._flat_dot`); norms computed once per vector
-    before the joins, never per pair. At 10^10 pairs both joins shuffle on
-    the id — no similarity self-join anywhere (this is 1:1 scoring, not
-    retrieval; retrieval is embed_lsh_ann/embed_ivf_ann's job)."""
+    before the joins, never per pair. No similarity self-join anywhere
+    (this is 1:1 scoring, not retrieval; retrieval is
+    embed_lsh_ann/embed_ivf_ann's job). The caps side is hard-capped at
+    N_IMAGES rows by the generator's LIMIT — a true bounded constant, so it
+    (and the ≤ N_IMAGES-row first-join output) carry explicit broadcast
+    hints: the optimizer can't see through mapInPandas stats and otherwise
+    builds the hash on the EMBEDDINGS scan (measured at sf1: it broadcast
+    the 1M-row table to probe 200 rows — 11.7 s; hinted plan streams both
+    embedding scans with zero shuffles and zero big broadcasts). Scoring an
+    UNBOUNDED image set instead: drop the hints and let both joins
+    sort-merge on the co-partitionable embedding key."""
     from .similarity import _flat_dot
 
     doc_id = F.substring("image_id", 5, 20).cast("bigint")
@@ -468,9 +476,9 @@ def image_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("nrm").alias("vn"))
     t = normed.select(F.col("vec_id").alias("tid"), F.col("embedding").alias("temb"),
                       F.col("nrm").alias("tn"))
+    j1 = F.broadcast(F.broadcast(caps).join(v, caps.doc_id == v.vid))
     return (
-        caps.join(v, caps.doc_id == v.vid)
-        .join(t, caps.ref_id == t.tid)
+        j1.join(t, j1.ref_id == t.tid)
         .withColumn(
             "align_sim",
             F.round(_flat_dot("vemb", "temb") / (F.col("vn") * F.col("tn")), 6),
@@ -965,13 +973,16 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually makes per document: keep iff the TEXT retention
     verdict keeps it (quality + exact-dup keeper, `text.corpus_retention`)
     AND its attached image is not a redundant near-duplicate (phash cluster
-    member that is not the cluster keeper). Docs beyond the image table get
-    image_status 'none'; images with no near-dup are 'unique'; cluster
-    minima are 'keeper'; everything else is 'redundant' and sinks the doc.
+    member that is not the cluster keeper) AND its caption aligns with the
+    image (`image_caption_align`'s two-tower gate). Docs beyond the image
+    table get image_status/caption_status 'none'; images with no near-dup
+    are 'unique'; cluster minima are 'keeper'; 'redundant' or 'misaligned'
+    sinks the doc.
 
-    Scale shape: both verdict sides are the already-bucketed plans (one
-    fingerprint-window pass for text; block-bucketed pairs + star labels
-    for images) joined on doc_id — one extra equi-join, no new wide op."""
+    Scale shape: all three verdict sides are the already-bucketed plans
+    (one fingerprint-window pass for text; block-bucketed pairs + star
+    labels for images; two embedding-key equi-joins for alignment) joined
+    on doc_id — two extra equi-joins, no new wide op."""
     from .dedup import _star_labels
     from .text import corpus_retention
 
@@ -994,11 +1005,27 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("redundant"))
         .alias("image_status"),
     )
+    align = image_caption_align(spark, sf_dir).select(
+        F.substring("image_id", 5, 20).cast("bigint").alias("doc_id"),
+        F.col("keep").alias("cap_keep"),
+    )
     return (
         text_v.join(status, "doc_id", "left")
+        .join(align, "doc_id", "left")
         .withColumn("image_status", F.coalesce("image_status", F.lit("none")))
-        .withColumn("keep", F.col("text_keep") & (F.col("image_status") != "redundant"))
-        .select("doc_id", "text_keep", "image_status", "keep")
+        .withColumn(
+            "caption_status",
+            F.when(F.col("cap_keep").isNull(), F.lit("none"))
+            .when(F.col("cap_keep"), F.lit("aligned"))
+            .otherwise(F.lit("misaligned")),
+        )
+        .withColumn(
+            "keep",
+            F.col("text_keep")
+            & (F.col("image_status") != "redundant")
+            & (F.col("caption_status") != "misaligned"),
+        )
+        .select("doc_id", "text_keep", "image_status", "caption_status", "keep")
     )
 
 SQL_IMAGE_DEDUP_CLUSTERS = f"""
@@ -1067,9 +1094,19 @@ status AS (
 )
 SELECT r.doc_id, r.keep AS text_keep,
        coalesce(st.image_status, 'none') AS image_status,
-       (r.keep AND coalesce(st.image_status, 'none') != 'redundant') AS keep
+       {{caption_status}} AS caption_status,
+       (r.keep AND coalesce(st.image_status, 'none') != 'redundant'
+               AND {{caption_status}} != 'misaligned') AS keep
 FROM ret r LEFT JOIN status st USING (doc_id)
+LEFT JOIN (SELECT CAST(substring(image_id, 5) AS BIGINT) AS doc_id,
+                  keep AS cap_keep
+           FROM ({{align}})) a USING (doc_id)
 """
+
+_SQL_CAPTION_STATUS = (
+    "CASE WHEN a.cap_keep IS NULL THEN 'none' "
+    "WHEN a.cap_keep THEN 'aligned' ELSE 'misaligned' END"
+)
 
 # LAION-style curation verdict: star labels (recursive-CTE oracle) + the
 # metadata gates over the expected-dims VALUES table
@@ -1163,7 +1200,10 @@ LOCAL_QUERIES = {
     "image_caption_align": image_caption_align,
 }
 LOCAL_ORACLES = {
-    "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE,
+    "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
+        caption_status=_SQL_CAPTION_STATUS,
+        align=_sql_caption_align().replace("\n", " "),
+    ),
     "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
     "image_curate": SQL_IMAGE_CURATE.format(
         dims=_values(_expected_dims()),
