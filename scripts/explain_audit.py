@@ -88,6 +88,8 @@ AUDITS = {
     # three composed verdict legs (text retention, phash star labels,
     # caption alignment) joined on doc_id equi-joins only
     "corpus_multimodal_pipeline": ([], ["CartesianProduct"]),
+    # map-only regexp projection: no join, no window, no shuffle at all
+    "text_pii_redact": ([], ["Join", "Window", "Exchange", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 

@@ -255,6 +255,42 @@ def test_domain_resample_verdict(spark):
     assert all(again[r["doc_id"]] == r["sampled"] for r in rows)
 
 
+def test_text_pii_redact_verdict(spark):
+    """PII redaction: per-row counts equal the planted ground truth
+    (doc_id % 7 decides which spans were planted), and the redaction
+    fingerprint matches an independent third engine (Python `re` applying
+    the same patterns to the same planted text) — so the md5 provably
+    covers a text with every detected span replaced."""
+    import hashlib
+    import re
+
+    from web_crawler_spark.analytics.text import PII_EMAIL, PII_IP, PII_PHONE
+
+    rows = {r["doc_id"]: r for r in LOCAL_QUERIES["text_pii_redact"](spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    expected = {0: (1, 0, 0), 2: (0, 1, 0), 4: (0, 0, 1), 6: (1, 1, 0)}
+    n_pii = 0
+    for doc_id, r in rows.items():
+        exp = expected.get(doc_id % 7, (0, 0, 0))
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == exp
+        assert r["has_pii"] == (sum(exp) > 0)
+        n_pii += int(r["has_pii"])
+        # rebuild the planted text and redact with Python re (third engine)
+        email = f" contact user{doc_id}@example.com now"
+        ip = f" node at 10.{doc_id % 256}.0.{(doc_id * 7) % 256} up"
+        phone = f" call 555-{doc_id % 1000:03d}-{(doc_id * 3) % 10000:04d} today"
+        plant = {0: email, 2: ip, 4: phone, 6: email + ip}.get(doc_id % 7, "")
+        red = re.sub(PII_EMAIL, "<EMAIL>", texts[doc_id] + plant)
+        red = re.sub(PII_IP, "<IP>", red)
+        red = re.sub(PII_PHONE, "<PHONE>", red)
+        assert r["redacted_fp"] == hashlib.md5(red.encode()).hexdigest()
+    assert 0 < n_pii < 500
+
+
 def test_corpus_pipeline_full_verdict(spark):
     """End-to-end curation verdict: reason precedence (retention reasons
     first, then repetitive, boilerplate, downsampled) matches the component

@@ -584,6 +584,81 @@ SELECT doc_id, drop_reason, (drop_reason = 'kept') AS keep FROM v
 """
 
 
+# --- text_pii_redact --------------------------------------------------------
+# PII detection + redaction — the standard curation step (emails / IPv4 /
+# phone numbers) every published web-corpus pipeline runs before training.
+# The synthetic documents are word salad with no natural PII, so ground
+# truth is PLANTED deterministically from doc_id (the image_caption_align
+# pattern): ~4/7 of docs gain one or two PII spans with known positions, so
+# the expected counts are checkable and the redaction fingerprint is exact.
+# Detection/redaction are JVM-side regexps (no Python in the plan); patterns
+# stay inside the RE2 ∩ java.util.regex common dialect so Spark and the
+# DuckDB oracle match byte-for-byte. Scale: narrow per-row projection, zero
+# shuffles — embarrassingly parallel at 100 TB.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+# planted spans, one expression per engine dialect (CAST STRING vs VARCHAR)
+def _pii_plant(cast_str: str) -> str:
+    did = f"CAST(doc_id AS {cast_str})"
+    email = f"' contact user' || {did} || '@example.com now'"
+    ip = f"' node at 10.' || CAST(doc_id % 256 AS {cast_str}) || '.0.' || CAST((doc_id * 7) % 256 AS {cast_str}) || ' up'"
+    phone = (
+        f"' call 555-' || lpad(CAST(doc_id % 1000 AS {cast_str}), 3, '0')"
+        f" || '-' || lpad(CAST((doc_id * 3) % 10000 AS {cast_str}), 4, '0') || ' today'"
+    )
+    return (
+        "CASE doc_id % 7 "
+        f"WHEN 0 THEN {email} "
+        f"WHEN 2 THEN {ip} "
+        f"WHEN 4 THEN {phone} "
+        f"WHEN 6 THEN {email} || {ip} "
+        "ELSE '' END"
+    )
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.expr(f"text || {_pii_plant('STRING')}")
+    d = d.withColumn("_t", txt)
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0)))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_t"), PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IP).alias("n_ips"),
+        n(PII_PHONE).alias("n_phones"),
+        (n(PII_EMAIL) + n(PII_IP) + n(PII_PHONE) > 0).alias("has_pii"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+SQL_TEXT_PII_REDACT = f"""
+WITH planted AS (
+  SELECT doc_id, text || {_pii_plant('VARCHAR')} AS _t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(_t, '{PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(_t, '{PII_IP}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(_t, '{PII_PHONE}')) AS INT) AS n_phones,
+       (len(regexp_extract_all(_t, '{PII_EMAIL}'))
+        + len(regexp_extract_all(_t, '{PII_IP}'))
+        + len(regexp_extract_all(_t, '{PII_PHONE}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(_t,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IP}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+FROM planted
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -603,6 +678,7 @@ LOCAL_QUERIES = {
     "line_dedup": line_dedup,
     "domain_resample": domain_resample,
     "corpus_pipeline_full": corpus_pipeline_full,
+    "text_pii_redact": text_pii_redact,
 }
 
 LOCAL_ORACLES = {
@@ -612,4 +688,5 @@ LOCAL_ORACLES = {
     "corpus_pipeline_full": SQL_CORPUS_PIPELINE_FULL.format(
         sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP, sql_smp=SQL_DOMAIN_RESAMPLE
     ),
+    "text_pii_redact": SQL_TEXT_PII_REDACT,
 }
