@@ -159,6 +159,48 @@ def test_embed_dedup_clusters_verdict(spark):
         assert r["keeper_id"] < r["last_member"]
 
 
+def test_embed_semdedup_verdict(spark):
+    """SemDeDup: one verdict per vector, and the keep/drop rule re-derived
+    by a third engine (numpy exact cosine over the query's own cell
+    assignment): a vector is dropped iff some LOWER-id cell mate has
+    round(cosine, 6) >= SEMDEDUP_T — so the lowest id in every cell is
+    always kept."""
+    import numpy as np
+
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.analytics.similarity import SEMDEDUP_T
+
+    def ltr_dot(a, b):  # left-to-right sum, bit-equal to _flat_dot / list_sum
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    rows = LOCAL_QUERIES["embed_semdedup"](spark, SF_DIR).collect()
+    emb = {
+        r["vec_id"]: [float(np.float64(x)) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    nrm = {k: np.sqrt(ltr_dot(v, v)) for k, v in emb.items()}
+    assert len(rows) == len(emb)  # exactly one verdict per vector
+    cells = {}
+    for r in rows:
+        cells.setdefault(r["cell"], []).append((r["vec_id"], r["keep"]))
+    n_dropped = 0
+    for members in cells.values():
+        members.sort()
+        assert members[0][1]  # lowest id per cell always kept
+        for i, (vid, keep) in enumerate(members):
+            dup = any(
+                round(ltr_dot(emb[uid], emb[vid]) / (nrm[uid] * nrm[vid]), 6)
+                >= SEMDEDUP_T
+                for uid, _ in members[:i]
+            )
+            assert keep == (not dup)
+            n_dropped += int(dup)
+    assert 0 < n_dropped < len(emb)  # the threshold actually discriminates
+
+
 def test_corpus_multimodal_pipeline_verdict(spark):
     """Cross-modal verdict semantics: redundant images and misaligned
     captions sink otherwise-kept docs, docs without images pass on the text

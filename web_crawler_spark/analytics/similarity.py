@@ -366,37 +366,38 @@ def _ltr_sq_norm(row) -> float:
     return acc
 
 
-def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN with a TRAINED coarse quantizer and nprobe cells/query.
-
-    One deterministic k-means refinement: seed cells = nearest of the first
-    N_CENTROIDS vectors; each refined centroid is the per-component SUM of its
-    members' fixed-point-quantized components (floor(x·1024) as int64).
-    Integer sums are associative-exact, so the trained centroids are
-    bit-identical regardless of partition/reduction order — the property a
-    float mean can't give on a 1000-executor cluster — and cosine against a
-    sum equals cosine against the mean (the member count cancels in the
-    normalization).
-
-    Round 3: both assignment passes are Arrow/numpy integer matmuls inside
-    mapInPandas (the _signature_buckets pattern) instead of
-    crossJoin(broadcast) + row_number windows. The windows partitioned the
-    n·k crossed rows BY VEC_ID — two full-corpus shuffles just to pick each
-    row's argmax over 8 cells; the matmul computes the same assignment
-    per-partition with ZERO shuffles, so at 10^10 vectors the only wide
-    exchange left in the plan is the candidate join on cell id. Assignment
-    similarity is integer-exact on both sides: numerators are int64 dots of
-    _QSCALE-quantized components (XQ @ C.T — overflow only past ~10^11
-    vectors per cell), denominators a single IEEE multiply of two sqrt's,
-    so numpy and the DuckDB oracle agree bit-for-bit with NO rounding step;
-    ties break on cent_id (argsort-stable == ORDER BY sim DESC, cent_id).
-    Training reduces O(P·k) per-partition partial-sum rows on the driver
-    (bounded like the graph.py partition totals); the trained centroids ride
-    back in a broadcast. Final exact re-rank on raw embeddings is unchanged.
-    """
+def _quant_np(pdf):
+    """Fixed-point quantization of an Arrow batch: float32 → float64 cast is
+    exact, ×_QSCALE (a power of two) is exact, floor then int64 — matching
+    the DuckDB oracles' CAST(floor(... * _QSCALE) AS BIGINT) bit-for-bit."""
     import numpy as np
 
-    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    XQ = np.floor(X * _QSCALE).astype(np.int64)
+    na = (XQ * XQ).sum(axis=1)
+    return XQ, np.sqrt(na.astype(np.float64))
+
+
+def _train_quantizer(spark: SparkSession, e_scan: DataFrame):
+    """One deterministic k-means refinement, shared by embed_ivf_ann and
+    embed_semdedup: seed cells = nearest of the first N_CENTROIDS vectors;
+    each refined centroid is the per-component SUM of its members'
+    fixed-point-quantized components (floor(x·1024) as int64). Integer sums
+    are associative-exact, so the trained centroids are bit-identical
+    regardless of partition/reduction order — the property a float mean
+    can't give on a 1000-executor cluster — and cosine against a sum equals
+    cosine against the mean (the member count cancels in the normalization).
+
+    Seed assignment is an Arrow/numpy integer matmul inside mapInPandas
+    (the _signature_buckets pattern): assignment sims are int64 numerators
+    (XQ @ C.T — overflow only past ~10^11 vectors per cell) over a
+    single-IEEE-multiply denominator, so numpy and the DuckDB oracle agree
+    bit-for-bit with NO rounding step; ties break on cent_id (first argmax
+    == ORDER BY sim DESC, cent_id). Training reduces O(P·k) per-partition
+    partial-sum rows on the driver (bounded like the graph.py partition
+    totals); the trained centroids ride back in a broadcast of
+    (CT int64[k×DIM], cent_ids int64[k], ct_cn float64[k])."""
+    import numpy as np
 
     # seeds: the first N_CENTROIDS vectors, quantized driver-side (O(k) rows)
     seed_rows = sorted(
@@ -409,12 +410,6 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_cn = np.sqrt(((SQ * SQ).sum(axis=1)).astype(np.float64))
     bc_seed = spark.sparkContext.broadcast((SQ, seed_cn))
 
-    def _quant(pdf):
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        XQ = np.floor(X * _QSCALE).astype(np.int64)
-        na = (XQ * XQ).sum(axis=1)
-        return XQ, np.sqrt(na.astype(np.float64))
-
     def gen_train(batches):
         import pandas as pd
 
@@ -424,7 +419,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            XQ, sqrt_na = _quant(pdf)
+            XQ, sqrt_na = _quant_np(pdf)
             sim = (XQ @ SQm.T).astype(np.float64) / (sqrt_na[:, None] * scn[None, :])
             cell0 = np.argmax(sim, axis=1)  # first max == lowest cent_id on ties
             np.add.at(S, cell0, XQ)
@@ -446,7 +441,26 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     CT = S[live]
     cent_ids = live.astype(np.int64)
     ct_cn = np.array([np.sqrt(_ltr_sq_norm(row)) for row in CT])
-    bc_cent = spark.sparkContext.broadcast((CT, cent_ids, ct_cn))
+    return spark.sparkContext.broadcast((CT, cent_ids, ct_cn))
+
+
+def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with a TRAINED coarse quantizer and nprobe cells/query
+    (training/assignment numerics: see _train_quantizer).
+
+    Round 3: both assignment passes are Arrow/numpy integer matmuls inside
+    mapInPandas (the _signature_buckets pattern) instead of
+    crossJoin(broadcast) + row_number windows. The windows partitioned the
+    n·k crossed rows BY VEC_ID — two full-corpus shuffles just to pick each
+    row's argmax over 8 cells; the matmul computes the same assignment
+    per-partition with ZERO shuffles, so at 10^10 vectors the only wide
+    exchange left in the plan is the candidate join on cell id. Final exact
+    re-rank on raw embeddings is unchanged.
+    """
+    import numpy as np
+
+    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc_cent = _train_quantizer(spark, e_scan)
 
     def gen_assign(batches):
         import pandas as pd
@@ -457,7 +471,7 @@ def embed_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(pdf)
             if n == 0:
                 continue
-            XQ, sqrt_na = _quant(pdf)
+            XQ, sqrt_na = _quant_np(pdf)
             sim = (XQ @ CTm.T).astype(np.float64) / (sqrt_na[:, None] * ccn[None, :])
             order = np.argsort(-sim, axis=1, kind="stable")  # ties: lower cent_id
             vids = pdf["vec_id"].to_numpy()
@@ -518,8 +532,9 @@ def _sql_idot(a: str, b: str) -> str:
 # Assignment similarity mirrors the Spark numpy pass bit-for-bit: int64
 # numerator (associative-exact), denominator = one IEEE multiply of two
 # sqrt's of exactly-representable values, NO rounding step needed.
-SQL_EMBED_IVF_ANN = f"""
-WITH normed AS (
+# Shared WITH-prefix (quantize → seed-assign → train → rank cells per vec)
+# for every trained-quantizer oracle: embed_ivf_ann and embed_semdedup.
+_SQL_IVF_CELLS = f"""normed AS (
   SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
          {_SQL_QARR} AS qarr
   FROM embeddings
@@ -561,7 +576,10 @@ ranked AS (
                     / (sqrt(CAST(n.na AS DOUBLE)) * c.cn) DESC,
                     c.cent_id) AS _cr
   FROM quant n CROSS JOIN cents c
-),
+)"""
+
+SQL_EMBED_IVF_ANN = f"""
+WITH {_SQL_IVF_CELLS},
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS sim
@@ -686,19 +704,105 @@ GROUP BY label
 """
 
 
+SEMDEDUP_T = NEARDUP_T  # cosine threshold for "semantic duplicate"
+
+
+def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): CLUSTER-BOUNDED
+    semantic dedup — the curation step LAION-scale image pipelines run over
+    CLIP embeddings. Assign every vector to its nearest trained-quantizer
+    cell (the embed_ivf_ann coarse quantizer, shared via _train_quantizer);
+    within each cell only, mark a vector a duplicate if some LOWER-id cell
+    mate has cosine >= SEMDEDUP_T (greedy keep-first representative per
+    ε-ball, no transitive closure); emit a keep/drop verdict per vector.
+
+    Scale story vs the other dedup paths: embed_neardup is O(n²) behind a
+    cardinality guard; embed_neardup_lsh bounds pairs by LSH-bucket
+    collisions. SemDeDup bounds them by QUANTIZER CELL: the plan is one
+    zero-shuffle matmul assignment pass, one equi-join shuffle on cell id,
+    and the verdict join on vec_id — pairwise work is Σ|cell|² with k
+    chosen so cells stay bounded (k grows with n; at 10^10 vectors k≈10^5
+    cells of ~10^5, each cell's pairs co-located on one reducer). Assignment
+    is integer-exact (see _train_quantizer), pair sims round to 6 dp —
+    bit-equal to the DuckDB oracle."""
+    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bc_cent = _train_quantizer(spark, e_scan)
+
+    def gen_assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        CTm, cids, ccn = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            XQ, sqrt_na = _quant_np(pdf)
+            sim = (XQ @ CTm.T).astype(np.float64) / (sqrt_na[:, None] * ccn[None, :])
+            cell0 = cids[np.argmax(sim, axis=1)]  # first max == lowest cent_id
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell0, "embedding": pdf["embedding"]}
+            )
+
+    assigned = e_scan.mapInPandas(
+        gen_assign, "vec_id bigint, cell bigint, embedding array<float>"
+    )
+    a = _with_norm(assigned).select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = _with_norm(assigned).select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(_flat_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= SEMDEDUP_T)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_dup").isNull().alias("keep"))
+    )
+
+
+SQL_EMBED_SEMDEDUP = f"""
+WITH {_SQL_IVF_CELLS},
+assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM ranked WHERE _cr = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+        >= {SEMDEDUP_T}
+)
+SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
 # Local-only (scripts/check_parity.py + pytest, not the driver registry):
 # embed_neardup drives the identical brute-force path as embed_cosine_topk
 # (same _flat_dot / guard / repartition) and is the all-pairs form the
 # cardinality guard forbids at scale anyway; embed_dedup_clusters composes
-# it with the shared star labeling. Both demoted to keep the driver's 8 KB
-# correctness file at its 50-row budget.
+# it with the shared star labeling; embed_semdedup shares the trained
+# quantizer already driver-tested through embed_ivf_ann. All demoted to
+# keep the driver's 8 KB correctness file at its 50-row budget.
 LOCAL_QUERIES = {
     "embed_neardup": embed_neardup,
     "embed_neardup_lsh": embed_neardup_lsh,
     "embed_dedup_clusters": embed_dedup_clusters,
+    "embed_semdedup": embed_semdedup,
 }
 LOCAL_ORACLES = {
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
+    "embed_semdedup": SQL_EMBED_SEMDEDUP,
 }
