@@ -378,9 +378,9 @@ def _quant_np(pdf):
     return XQ, np.sqrt(na.astype(np.float64))
 
 
-def _train_quantizer(spark: SparkSession, e_scan: DataFrame):
+def _train_quantizer(spark: SparkSession, e_scan: DataFrame, k: int = N_CENTROIDS):
     """One deterministic k-means refinement, shared by embed_ivf_ann and
-    embed_semdedup: seed cells = nearest of the first N_CENTROIDS vectors;
+    embed_semdedup: seed cells = nearest of the first k vectors;
     each refined centroid is the per-component SUM of its members'
     fixed-point-quantized components (floor(x·1024) as int64). Integer sums
     are associative-exact, so the trained centroids are bit-identical
@@ -399,9 +399,9 @@ def _train_quantizer(spark: SparkSession, e_scan: DataFrame):
     (CT int64[k×DIM], cent_ids int64[k], ct_cn float64[k])."""
     import numpy as np
 
-    # seeds: the first N_CENTROIDS vectors, quantized driver-side (O(k) rows)
+    # seeds: the first k vectors, quantized driver-side (O(k) rows)
     seed_rows = sorted(
-        e_scan.filter(F.col("vec_id") < N_CENTROIDS).collect(),
+        e_scan.filter(F.col("vec_id") < k).collect(),
         key=lambda r: r.vec_id,
     )
     SQ = np.floor(
@@ -414,8 +414,8 @@ def _train_quantizer(spark: SparkSession, e_scan: DataFrame):
         import pandas as pd
 
         SQm, scn = bc_seed.value
-        S = np.zeros((N_CENTROIDS, DIM), dtype=np.int64)
-        cnt = np.zeros(N_CENTROIDS, dtype=np.int64)
+        S = np.zeros((k, DIM), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -423,17 +423,17 @@ def _train_quantizer(spark: SparkSession, e_scan: DataFrame):
             sim = (XQ @ SQm.T).astype(np.float64) / (sqrt_na[:, None] * scn[None, :])
             cell0 = np.argmax(sim, axis=1)  # first max == lowest cent_id on ties
             np.add.at(S, cell0, XQ)
-            cnt += np.bincount(cell0, minlength=N_CENTROIDS)
+            cnt += np.bincount(cell0, minlength=k)
         yield pd.DataFrame(
-            {"cell": np.arange(N_CENTROIDS, dtype=np.int64), "cnt": cnt,
+            {"cell": np.arange(k, dtype=np.int64), "cnt": cnt,
              "s": [row.tolist() for row in S]}
         )
 
     parts = e_scan.mapInPandas(
         gen_train, "cell bigint, cnt bigint, s array<bigint>"
     ).collect()  # O(P·k) rows — bounded by partition count, not data size
-    S = np.zeros((N_CENTROIDS, DIM), dtype=np.int64)
-    cnt = np.zeros(N_CENTROIDS, dtype=np.int64)
+    S = np.zeros((k, DIM), dtype=np.int64)
+    cnt = np.zeros(k, dtype=np.int64)
     for r in parts:
         S[r.cell] += np.array(r.s, dtype=np.int64)
         cnt[r.cell] += r.cnt
@@ -533,8 +533,10 @@ def _sql_idot(a: str, b: str) -> str:
 # numerator (associative-exact), denominator = one IEEE multiply of two
 # sqrt's of exactly-representable values, NO rounding step needed.
 # Shared WITH-prefix (quantize → seed-assign → train → rank cells per vec)
-# for every trained-quantizer oracle: embed_ivf_ann and embed_semdedup.
-_SQL_IVF_CELLS = f"""normed AS (
+# for every trained-quantizer oracle: embed_ivf_ann (k = N_CENTROIDS) and
+# embed_semdedup (k scales with the corpus — pass a scalar-subquery k_expr).
+def _sql_ivf_cells(k_expr: str) -> str:
+    return f"""normed AS (
   SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
          {_SQL_QARR} AS qarr
   FROM embeddings
@@ -545,7 +547,7 @@ quant AS (
   FROM normed
 ),
 cents0 AS (SELECT vec_id AS cent_id, qarr AS sq, na AS sna
-           FROM quant WHERE vec_id < {N_CENTROIDS}),
+           FROM quant WHERE vec_id < {k_expr}),
 assigned0 AS (
   SELECT vec_id, qarr, cent_id AS cell0 FROM (
     SELECT n.vec_id, n.qarr, c.cent_id,
@@ -577,6 +579,9 @@ ranked AS (
                     c.cent_id) AS _cr
   FROM quant n CROSS JOIN cents c
 )"""
+
+
+_SQL_IVF_CELLS = _sql_ivf_cells(str(N_CENTROIDS))
 
 SQL_EMBED_IVF_ANN = f"""
 WITH {_SQL_IVF_CELLS},
@@ -705,6 +710,7 @@ GROUP BY label
 
 
 SEMDEDUP_T = NEARDUP_T  # cosine threshold for "semantic duplicate"
+SEMDEDUP_CELL_TARGET = 256  # k = max(N_CENTROIDS, n // target): cells stay bounded
 
 
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,13 +726,20 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality guard; embed_neardup_lsh bounds pairs by LSH-bucket
     collisions. SemDeDup bounds them by QUANTIZER CELL: the plan is one
     zero-shuffle matmul assignment pass, one equi-join shuffle on cell id,
-    and the verdict join on vec_id — pairwise work is Σ|cell|² with k
-    chosen so cells stay bounded (k grows with n; at 10^10 vectors k≈10^5
-    cells of ~10^5, each cell's pairs co-located on one reducer). Assignment
-    is integer-exact (see _train_quantizer), pair sims round to 6 dp —
-    bit-equal to the DuckDB oracle."""
+    and the verdict join on vec_id. k SCALES WITH THE CORPUS —
+    k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET) — so pairwise work is
+    ~n·target/2 (LINEAR in n) and the cell join fans out over k keys, not
+    N_CENTROIDS. A fixed k=8 measured 86 s at sf1 (20k vectors): n²/k pairs
+    over 8 join keys left 24 of 32 cores idle; dynamic k (78 cells) does
+    10× fewer dot products across 10× more keys. At 10^10 vectors
+    k≈4×10^7 cells of ~256; a real deployment samples the seed set instead
+    of taking the first k ids (documented, not needed at test scale).
+    Assignment is integer-exact (see _train_quantizer), pair sims round to
+    6 dp — bit-equal to the DuckDB oracle."""
     e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bc_cent = _train_quantizer(spark, e_scan)
+    n = e_scan.count()  # parquet-metadata count
+    k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET)
+    bc_cent = _train_quantizer(spark, e_scan, k)
 
     def gen_assign(batches):
         import numpy as np
@@ -771,8 +784,12 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SEMDEDUP_K = (
+    f"(SELECT greatest({N_CENTROIDS}, count(*) // {SEMDEDUP_CELL_TARGET}) FROM embeddings)"
+)
+
 SQL_EMBED_SEMDEDUP = f"""
-WITH {_SQL_IVF_CELLS},
+WITH {_sql_ivf_cells(_SQL_SEMDEDUP_K)},
 assigned AS (
   SELECT vec_id, embedding, nrm, cell FROM ranked WHERE _cr = 1
 ),
