@@ -54,6 +54,11 @@ HEADLINE = [
     "image_curate",
     "image_thumbnail",
     "image_caption_align",
+    # late round-3 additions: corpus-linear semantic dedup, cross-modal
+    # composed verdict, map-only PII masking
+    "embed_semdedup",
+    "corpus_multimodal_pipeline",
+    "text_pii_redact",
 ]
 
 
