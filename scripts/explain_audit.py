@@ -94,6 +94,7 @@ AUDITS = {
     # (MapInPandas), then equi-joins on cell / vec_id only — the pairwise
     # stage can never fall back to a cartesian or per-vec window shuffle
     "embed_semdedup": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "BatchEvalPython"]),
+    "embed_decontaminate": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "BatchEvalPython"]),
 }
 
 

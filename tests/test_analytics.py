@@ -201,6 +201,57 @@ def test_embed_semdedup_verdict(spark):
     assert 0 < n_dropped < len(emb)  # the threshold actually discriminates
 
 
+def test_embed_decontaminate_verdict(spark):
+    """Third-engine check of the semantic-decontamination contract: a
+    TRAINING vector (vec_id % 20 != 0) is contaminated iff some BENCHMARK
+    vector (vec_id % 20 == 0) in the SAME quantizer cell has
+    round(cosine, 6) >= EMBED_DECON_T, recomputed in pure Python from the
+    query's own cell assignment."""
+    import numpy as np
+
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.analytics.similarity import (
+        EMBED_DECON_MOD,
+        EMBED_DECON_T,
+        _assign_cells,
+    )
+
+    def ltr_dot(a, b):  # left-to-right sum, bit-equal to _flat_dot / list_sum
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    rows = LOCAL_QUERIES["embed_decontaminate"](spark, SF_DIR).collect()
+    e_scan = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cell_of, emb = {}, {}
+    for r in _assign_cells(spark, e_scan).collect():
+        cell_of[r["vec_id"]] = r["cell"]
+        emb[r["vec_id"]] = [float(np.float64(x)) for x in r["embedding"]]
+    nrm = {k: np.sqrt(ltr_dot(v, v)) for k, v in emb.items()}
+    bench_by_cell = {}
+    for vid, c in cell_of.items():
+        if vid % EMBED_DECON_MOD == 0:
+            bench_by_cell.setdefault(c, []).append(vid)
+    n_train = sum(1 for vid in emb if vid % EMBED_DECON_MOD != 0)
+    assert len(rows) == n_train  # one verdict per TRAINING vector only
+    n_hits = 0
+    for r in rows:
+        vid = r["vec_id"]
+        assert vid % EMBED_DECON_MOD != 0
+        assert r["cell"] == cell_of[vid]
+        expect = any(
+            round(ltr_dot(emb[b], emb[vid]) / (nrm[b] * nrm[vid]), 6)
+            >= EMBED_DECON_T
+            for b in bench_by_cell.get(r["cell"], [])
+        )
+        assert r["contaminated"] == expect
+        n_hits += int(expect)
+    assert 0 < n_hits < n_train  # the planted ground truth is exercised
+
+
 def test_corpus_multimodal_pipeline_verdict(spark):
     """Cross-modal verdict semantics: redundant images and misaligned
     captions sink otherwise-kept docs, docs without images pass on the text

@@ -713,6 +713,38 @@ SEMDEDUP_T = NEARDUP_T  # cosine threshold for "semantic duplicate"
 SEMDEDUP_CELL_TARGET = 256  # k = max(N_CENTROIDS, n // target): cells stay bounded
 
 
+def _assign_cells(spark: SparkSession, e_scan: DataFrame) -> DataFrame:
+    """Nearest-trained-cell assignment shared by embed_semdedup and
+    embed_decontaminate: train the corpus-scaled quantizer
+    (k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET), see _train_quantizer)
+    and map every vector to its nearest cell in ONE zero-shuffle Arrow
+    matmul pass (argmax over integer-exact cosines; first max == lowest
+    cent_id on ties, matching the oracle's (sim DESC, cent_id) ordering).
+    Returns (vec_id, cell, embedding)."""
+    n = e_scan.count()  # parquet count — metadata-cheap
+    k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET)
+    bc_cent = _train_quantizer(spark, e_scan, k)
+
+    def gen_assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        CTm, cids, ccn = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            XQ, sqrt_na = _quant_np(pdf)
+            sim = (XQ @ CTm.T).astype(np.float64) / (sqrt_na[:, None] * ccn[None, :])
+            cell0 = cids[np.argmax(sim, axis=1)]  # first max == lowest cent_id
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": cell0, "embedding": pdf["embedding"]}
+            )
+
+    return e_scan.mapInPandas(
+        gen_assign, "vec_id bigint, cell bigint, embedding array<float>"
+    )
+
+
 def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): CLUSTER-BOUNDED
     semantic dedup — the curation step LAION-scale image pipelines run over
@@ -737,28 +769,7 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment is integer-exact (see _train_quantizer), pair sims round to
     6 dp — bit-equal to the DuckDB oracle."""
     e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = e_scan.count()  # parquet-metadata count
-    k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET)
-    bc_cent = _train_quantizer(spark, e_scan, k)
-
-    def gen_assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        CTm, cids, ccn = bc_cent.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            XQ, sqrt_na = _quant_np(pdf)
-            sim = (XQ @ CTm.T).astype(np.float64) / (sqrt_na[:, None] * ccn[None, :])
-            cell0 = cids[np.argmax(sim, axis=1)]  # first max == lowest cent_id
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cell": cell0, "embedding": pdf["embedding"]}
-            )
-
-    assigned = e_scan.mapInPandas(
-        gen_assign, "vec_id bigint, cell bigint, embedding array<float>"
-    )
+    assigned = _assign_cells(spark, e_scan)
     a = _with_norm(assigned).select(
         F.col("vec_id").alias("vec_a"), "cell",
         F.col("embedding").alias("va"), F.col("nrm").alias("na"),
@@ -804,6 +815,73 @@ FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 """
 
 
+EMBED_DECON_T = NEARDUP_T  # cosine threshold for "semantically contaminated"
+EMBED_DECON_MOD = 20  # vec_id % MOD == 0 -> benchmark split (matches dedup.DECON_MOD)
+
+
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination — the third leg of the
+    decontamination family (text n-gram `corpus_decontaminate`, image phash
+    `image_decontaminate`): flag a TRAINING vector as contaminated when some
+    held-out BENCHMARK vector (vec_id % 20 == 0, the same deterministic
+    split convention as the other two legs) has cosine >= EMBED_DECON_T.
+    This is the semantic pass a pretraining pipeline runs when paraphrased
+    or re-encoded benchmark rows slip past exact n-gram matching.
+
+    Scale shape: identical to embed_semdedup — both sides assigned to the
+    shared corpus-scaled quantizer's cells (one zero-shuffle Arrow matmul),
+    candidates bounded per CELL (train ⋈ benchmark on cell id, never
+    all-pairs), verdict left-join on vec_id. The benchmark side is tiny
+    relative to the corpus at real scale, so the cell join's per-key
+    fan-out is |cell ∩ bench| — near-free; cell blocking is recall-bounded
+    (a contaminated pair split across cells is missed, identically in both
+    engines — the same trade IVF makes, stated here as the contract).
+    Assignment is integer-exact, sims round to 6 dp — bit-equal to the
+    DuckDB oracle."""
+    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _assign_cells(spark, e_scan)
+    is_bench = F.col("vec_id") % EMBED_DECON_MOD == 0
+    train = _with_norm(assigned.filter(~is_bench)).select(
+        F.col("vec_id"), "cell",
+        F.col("embedding").alias("vt"), F.col("nrm").alias("nt"),
+    )
+    bench = _with_norm(assigned.filter(is_bench)).select(
+        "cell", F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    sim = F.round(_flat_dot("vt", "vb") / (F.col("nt") * F.col("nb")), 6)
+    hits = (
+        train.join(bench, "cell")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= EMBED_DECON_T)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        train.select("vec_id", "cell")
+        .join(hits, "vec_id", "left")
+        .select("vec_id", "cell", F.col("_hit").isNotNull().alias("contaminated"))
+    )
+
+
+SQL_EMBED_DECONTAMINATE = f"""
+WITH {_sql_ivf_cells(_SQL_SEMDEDUP_K)},
+assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM ranked WHERE _cr = 1
+),
+hits AS (
+  SELECT DISTINCT t.vec_id
+  FROM assigned t JOIN assigned b ON t.cell = b.cell
+  WHERE t.vec_id % {EMBED_DECON_MOD} != 0 AND b.vec_id % {EMBED_DECON_MOD} = 0
+    AND round({_sql_dot('t.embedding', 'b.embedding')} / (t.nrm * b.nrm), 6)
+        >= {EMBED_DECON_T}
+)
+SELECT t.vec_id, t.cell, (h.vec_id IS NOT NULL) AS contaminated
+FROM assigned t LEFT JOIN hits h ON h.vec_id = t.vec_id
+WHERE t.vec_id % {EMBED_DECON_MOD} != 0
+"""
+
+
 # Local-only (scripts/check_parity.py + pytest, not the driver registry):
 # embed_neardup drives the identical brute-force path as embed_cosine_topk
 # (same _flat_dot / guard / repartition) and is the all-pairs form the
@@ -816,10 +894,12 @@ LOCAL_QUERIES = {
     "embed_neardup_lsh": embed_neardup_lsh,
     "embed_dedup_clusters": embed_dedup_clusters,
     "embed_semdedup": embed_semdedup,
+    "embed_decontaminate": embed_decontaminate,
 }
 LOCAL_ORACLES = {
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
     "embed_semdedup": SQL_EMBED_SEMDEDUP,
+    "embed_decontaminate": SQL_EMBED_DECONTAMINATE,
 }
