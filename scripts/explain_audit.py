@@ -90,6 +90,7 @@ AUDITS = {
     "corpus_multimodal_pipeline": ([], ["CartesianProduct"]),
     # map-only regexp projection: no join, no window, no shuffle at all
     "text_pii_redact": ([], ["Join", "Window", "Exchange", "BatchEvalPython", "ArrowEvalPython"]),
+    "text_classify_quality": ([], ["Join", "Window", "Exchange", "BatchEvalPython", "ArrowEvalPython"]),
     # cluster-bounded semantic dedup: zero-shuffle matmul assignment
     # (MapInPandas), then equi-joins on cell / vec_id only — the pairwise
     # stage can never fall back to a cartesian or per-vec window shuffle

