@@ -3,7 +3,11 @@ entry on Spark and its oracle_sql() twin on DuckDB at sf0.01, compare
 row count, schema width, and an order-insensitive value hash (columns
 sorted by name, rows sorted, values stringified with float rounding).
 
-Usage: python scripts/check_parity.py [--sf SF_DIR] [query ...]
+Usage: python scripts/check_parity.py [--sf SF_DIR] [--skip name ...] [query ...]
+
+`--sf /dev/shm/wcs-sf1` re-proves parity at the amortized scale (50k docs /
+6M lineitem / 20k vectors); pass `--skip` for the cardinality-guarded
+all-pairs baselines whose ORACLES are O(n²) list-dot-products in DuckDB.
 """
 
 from __future__ import annotations
@@ -52,6 +56,11 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         args = args[:i] + args[i + 2:]
+    skip: set[str] = set()
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = set(args[i + 1:])
+        args = args[:i]
     only = set(args)
 
     from web_crawler_spark.analytics import LOCAL_ORACLES, LOCAL_QUERIES, ORACLES, QUERIES
@@ -63,11 +72,15 @@ def main() -> int:
     spark = get_spark(app_name="selfcheck", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are directories of part files; single-file
+        # parquet (the driver's testdata) stays a plain path
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     failures = []
     for name, fn in QUERIES.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
