@@ -424,14 +424,19 @@ def test_text_classify_quality_verdict(spark):
         n_boosted += int(any(w in stops for w in words))
     assert 0 < n_boosted  # the boost path is exercised on this corpus
     assert 0 < sum(int(r["keep"]) for r in rows.values()) < 500  # both verdicts occur
+
+
+def test_corpus_pipeline_full_verdict(spark):
     """End-to-end curation verdict: reason precedence (retention reasons
-    first, then repetitive, boilerplate, downsampled) matches the component
-    verdicts, and each gate actually fires on this corpus."""
+    first, then repetitive, boilerplate, model_filtered, downsampled)
+    matches the component verdicts, and each gate actually fires on this
+    corpus."""
     comp = {r["doc_id"]: r for r in LOCAL_QUERIES["corpus_pipeline_full"](spark, SF_DIR).collect()}
     assert len(comp) == 500
     ret = {r["doc_id"]: r["drop_reason"] for r in QUERIES["corpus_retention"](spark, SF_DIR).collect()}
     rep = {r["doc_id"]: r["rep_ok"] for r in LOCAL_QUERIES["text_repetition"](spark, SF_DIR).collect()}
     seg = {r["doc_id"]: r["keep"] for r in LOCAL_QUERIES["line_dedup"](spark, SF_DIR).collect()}
+    clf = {r["doc_id"]: r["keep"] for r in LOCAL_QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
     smp = {r["doc_id"]: r["sampled"] for r in LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()}
     seen_reasons = set()
     for doc_id, r in comp.items():
@@ -441,6 +446,8 @@ def test_text_classify_quality_verdict(spark):
             want = "repetitive"
         elif not seg[doc_id]:
             want = "boilerplate"
+        elif not clf[doc_id]:
+            want = "model_filtered"
         elif not smp[doc_id]:
             want = "downsampled"
         else:
@@ -448,7 +455,7 @@ def test_text_classify_quality_verdict(spark):
         assert r["drop_reason"] == want
         assert r["keep"] == (want == "kept")
         seen_reasons.add(want)
-    assert {"repetitive", "boilerplate", "downsampled", "kept"} <= seen_reasons
+    assert {"repetitive", "boilerplate", "model_filtered", "downsampled", "kept"} <= seen_reasons
 
 
 def test_image_thumbnail_roundtrip(spark):

@@ -289,6 +289,20 @@ def test_stream_curate_matches_batch(spark, tmp_path):
             out.append(int(hashlib.md5(seg.encode()).hexdigest()[:15], 16))
         return list(dict.fromkeys(out))
 
+    from web_crawler_spark.analytics.text import CLF_STOP_BOOST, CLF_WMOD, STOPWORDS
+
+    clf_stops = set(STOPWORDS["en"])
+
+    def clf_logit(text):
+        half = (CLF_WMOD - 1) // 2
+        total = 0
+        for w in re.split(r"\s+", text.strip().lower()):
+            if w in clf_stops:
+                total += CLF_STOP_BOOST
+            else:
+                total += int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % CLF_WMOD - half
+        return total
+
     idx_segs = set()
     for i in texts:
         if i < 250:
@@ -311,6 +325,8 @@ def test_stream_curate_matches_batch(spark, tmp_path):
             exp = "repetitive"
         elif shared / len(hs) >= SEG_SHARED_T:
             exp = "boilerplate"
+        elif clf_logit(texts[doc_id]) < 0:
+            exp = "model_filtered"
         elif h48 >= math.floor(rate * _RESAMPLE_SCALE):
             exp = "downsampled"
         else:
@@ -318,7 +334,7 @@ def test_stream_curate_matches_batch(spark, tmp_path):
         assert reason == exp, f"doc {doc_id}: {reason} != {exp}"
         n_reasons[reason] = n_reasons.get(reason, 0) + 1
     # the corpus exercises the precedence chain
-    assert {"repetitive", "downsampled", "kept"} <= set(n_reasons)
+    assert {"repetitive", "model_filtered", "downsampled", "kept"} <= set(n_reasons)
 
 
 def test_stream_curate_image_matches_batch(spark, tmp_path):

@@ -529,14 +529,17 @@ FROM documents d JOIN rates r USING (source)
 # corpus_pipeline_full: the end-to-end curation verdict a training-data
 # pipeline runs per document, composing every text-side stage in this module
 # into ONE declarative plan — retention (near-dup fingerprint + length +
-# quality), Gopher repetition gate, line-level boilerplate gate, and
-# domain-temperature resampling — with drop-reason precedence matching the
-# order a real pipeline applies them.
+# quality), Gopher repetition gate, line-level boilerplate gate,
+# model-based classifier gate (text_classify_quality; 'model_filtered'),
+# and domain-temperature resampling — with drop-reason precedence matching
+# the order a real pipeline applies them (heuristics → dedup/boilerplate →
+# learned filter → sampling).
 #
 # Scale shape: each stage keeps its own bounded shuffle topology (documented
-# at its definition); composition adds three equi-joins on doc_id, which
+# at its definition); composition adds four equi-joins on doc_id, which
 # all hash-partition on the same key — Catalyst prunes every stage to the
-# columns the verdict needs and AQE coalesces the co-keyed exchanges.
+# columns the verdict needs and AQE coalesces the co-keyed exchanges (the
+# classifier stage itself is shuffle-free).
 # ---------------------------------------------------------------------------
 
 
@@ -546,17 +549,22 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = text_repetition(spark, sf_dir).select("doc_id", "rep_ok")
     seg = line_dedup(spark, sf_dir).select("doc_id", F.col("keep").alias("seg_keep"))
+    clf = text_classify_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("clf_keep")
+    )
     smp = domain_resample(spark, sf_dir).select("doc_id", "sampled")
     reason = (
         F.when(F.col("ret_reason") != "kept", F.col("ret_reason"))
         .when(~F.col("rep_ok"), F.lit("repetitive"))
         .when(~F.col("seg_keep"), F.lit("boilerplate"))
+        .when(~F.col("clf_keep"), F.lit("model_filtered"))
         .when(~F.col("sampled"), F.lit("downsampled"))
         .otherwise(F.lit("kept"))
     )
     return (
         ret.join(rep, "doc_id")
         .join(seg, "doc_id")
+        .join(clf, "doc_id")
         .join(smp, "doc_id")
         .withColumn("drop_reason", reason)
         .select(
@@ -569,16 +577,18 @@ SQL_CORPUS_PIPELINE_FULL = f"""
 WITH ret AS ({SQL_CORPUS_RETENTION}),
 rep AS ({{sql_rep}}),
 seg AS ({{sql_seg}}),
+clf AS ({{sql_clf}}),
 smp AS ({{sql_smp}}),
 v AS (
   SELECT r.doc_id,
          CASE WHEN r.drop_reason != 'kept' THEN r.drop_reason
               WHEN NOT p.rep_ok THEN 'repetitive'
               WHEN NOT s.keep THEN 'boilerplate'
+              WHEN NOT c.keep THEN 'model_filtered'
               WHEN NOT m.sampled THEN 'downsampled'
               ELSE 'kept' END AS drop_reason
   FROM ret r JOIN rep p USING (doc_id) JOIN seg s USING (doc_id)
-       JOIN smp m USING (doc_id)
+       JOIN clf c USING (doc_id) JOIN smp m USING (doc_id)
 )
 SELECT doc_id, drop_reason, (drop_reason = 'kept') AS keep FROM v
 """
@@ -681,11 +691,17 @@ CLF_STOP_BOOST = 500  # planted stopword weight (the learned-signal stand-in)
 _CLF_STOPS_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 _CLF_STOPS_DUCK = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
-_CLF_LOGIT = (
-    f"aggregate({_WORDS}, cast(0 as bigint), (acc, w) -> acc + ("
-    f"CASE WHEN array_contains(array({_CLF_STOPS_SPARK}), w) THEN {CLF_STOP_BOOST} "
-    f"ELSE cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {CLF_WMOD} - {(CLF_WMOD - 1) // 2} END))"
-)
+def _clf_logit_over(arr: str) -> str:
+    """The integer logit fold over any words-array expression (reused by
+    stream_curate over its pre-bound `ws` column)."""
+    return (
+        f"aggregate({arr}, cast(0 as bigint), (acc, w) -> acc + ("
+        f"CASE WHEN array_contains(array({_CLF_STOPS_SPARK}), w) THEN {CLF_STOP_BOOST} "
+        f"ELSE cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint) % {CLF_WMOD} - {(CLF_WMOD - 1) // 2} END))"
+    )
+
+
+_CLF_LOGIT = _clf_logit_over(_WORDS)
 _SQL_CLF_LOGIT = (
     f"CAST(list_sum(list_transform({SQL_WORDS}, w -> "
     f"CASE WHEN list_contains([{_CLF_STOPS_DUCK}], w) THEN {CLF_STOP_BOOST} "
@@ -751,7 +767,8 @@ LOCAL_ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "domain_resample": SQL_DOMAIN_RESAMPLE,
     "corpus_pipeline_full": SQL_CORPUS_PIPELINE_FULL.format(
-        sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP, sql_smp=SQL_DOMAIN_RESAMPLE
+        sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP,
+        sql_clf=SQL_TEXT_CLASSIFY_QUALITY, sql_smp=SQL_DOMAIN_RESAMPLE,
     ),
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_classify_quality": SQL_TEXT_CLASSIFY_QUALITY,

@@ -24,6 +24,9 @@ Verdict stages and their stream shape:
   aggregation back to doc grain — complete mode in the bounded-source
   parity tests; a production deployment runs update mode keyed on an
   ingest-time watermark
+- model_filtered: the hashing-trick classifier logit
+  (`text_classify_quality`) as one more per-row integer fold — the learned
+  quality gate runs at ingest for free, no model table to join
 - downsampled: static per-source accept rates (``text.source_rates`` over
   the accepted corpus) stream-static-joined on source; unseen domains
   default to rate 1.0 (nothing to flatten yet)
@@ -54,6 +57,7 @@ from ..analytics.text import (
     _WHASH,
     _WINDOWS,
     _WORDS,
+    _clf_logit_over,
     source_rates,
 )
 
@@ -136,6 +140,7 @@ def _verdict(
             ).alias("dup3_frac"),
             F.expr(_SEG_HASHES).alias("seg_hashes"),
             F.expr("size(" + _SEG_HASHES + ")").alias("n_segs"),
+            F.expr(_clf_logit_over("ws")).alias("logit_sum"),
             F.expr(SAMPLE_HASH).alias("h48"),
         )
     )
@@ -151,8 +156,8 @@ def _verdict(
     # stream-stream join-back), static segment index joined on the hash,
     # one grouped agg restores doc grain
     carried = [
-        "doc_id", "source", "fingerprint", "n_words", "quality",
-        "top1_frac", "top2_frac", "dup3_frac", "n_segs", "h48", "fp_hit", "rate",
+        "doc_id", "source", "fingerprint", "n_words", "quality", "top1_frac",
+        "top2_frac", "dup3_frac", "n_segs", "logit_sum", "h48", "fp_hit", "rate",
     ]
     probed = (
         sig.select(*carried, F.explode("seg_hashes").alias("h"))
@@ -175,6 +180,7 @@ def _verdict(
             F.col("n_shared").cast("double") / F.col("n_segs") >= SEG_SHARED_T,
             F.lit("boilerplate"),
         )
+        .when(F.col("logit_sum") < 0, F.lit("model_filtered"))
         .when(F.col("h48") >= thresh, F.lit("downsampled"))
         .otherwise(F.lit("kept"))
     )
