@@ -407,3 +407,49 @@ def test_stream_curate_image_matches_batch(spark, tmp_path):
         seen.add(reason)
     assert {"near_duplicate", "too_small", "bad_aspect", "misaligned", "kept"} <= seen
     assert got["img-101"][0] in ("kept", "too_small", "bad_aspect")
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Ingest-time semantic decontamination: the complete-mode verdict over
+    a static source equals its batch twin row-for-row AND, because the
+    index is built from the same embeddings table the batch query reads,
+    equals embed_decontaminate's own verdicts vector-for-vector (same
+    broadcast centroids -> same cells -> same per-cell benchmark probes)."""
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.analytics.similarity import EMBED_DECON_MOD
+    from web_crawler_spark.streaming import stream_decontaminate
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    arriving = emb.filter(F.col("vec_id") % EMBED_DECON_MOD != 0)
+    src = tmp_path / "emb_stream"
+    arriving.write.parquet(str(src))
+
+    bc_cent, bench = stream_decontaminate.build_index(spark, emb)
+    bench = bench.cache()
+
+    q = stream_decontaminate.run_to_memory(
+        stream_decontaminate.decontaminate_stream(spark, str(src), bc_cent, bench),
+        name="decon_t",
+    )
+    try:
+        got = {r["vec_id"]: (r["cell"], r["contaminated"])
+               for r in spark.table("decon_t").collect()}
+    finally:
+        q.stop()
+    want = {
+        r["vec_id"]: (r["cell"], r["contaminated"])
+        for r in stream_decontaminate.decontaminate_batch(
+            spark, str(src), bc_cent, bench
+        ).collect()
+    }
+    assert got == want and len(got) == arriving.count()
+
+    # cross-check against the batch analytics query on the same table
+    batch = {
+        r["vec_id"]: (r["cell"], r["contaminated"])
+        for r in LOCAL_QUERIES["embed_decontaminate"](spark, sf_dir).collect()
+    }
+    assert got == batch
+    n_hits = sum(1 for _, c in got.values() if c)
+    assert 0 < n_hits < len(got)  # the benchmark split is actually probed

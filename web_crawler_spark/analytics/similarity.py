@@ -713,17 +713,26 @@ SEMDEDUP_T = NEARDUP_T  # cosine threshold for "semantic duplicate"
 SEMDEDUP_CELL_TARGET = 256  # k = max(N_CENTROIDS, n // target): cells stay bounded
 
 
-def _assign_cells(spark: SparkSession, e_scan: DataFrame) -> DataFrame:
-    """Nearest-trained-cell assignment shared by embed_semdedup and
-    embed_decontaminate: train the corpus-scaled quantizer
-    (k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET), see _train_quantizer)
-    and map every vector to its nearest cell in ONE zero-shuffle Arrow
-    matmul pass (argmax over integer-exact cosines; first max == lowest
-    cent_id on ties, matching the oracle's (sim DESC, cent_id) ordering).
-    Returns (vec_id, cell, embedding)."""
+def _corpus_quantizer(spark: SparkSession, e_scan: DataFrame):
+    """Train the corpus-scaled quantizer (k = max(N_CENTROIDS,
+    n // SEMDEDUP_CELL_TARGET), see _train_quantizer) and return its
+    broadcast — reused by the ingest-time stream (stream_decontaminate)
+    which assigns ARRIVING vectors with the same centroids."""
     n = e_scan.count()  # parquet count — metadata-cheap
     k = max(N_CENTROIDS, n // SEMDEDUP_CELL_TARGET)
-    bc_cent = _train_quantizer(spark, e_scan, k)
+    return _train_quantizer(spark, e_scan, k)
+
+
+def _assign_cells(spark: SparkSession, e_scan: DataFrame, bc_cent=None) -> DataFrame:
+    """Nearest-trained-cell assignment shared by embed_semdedup,
+    embed_decontaminate and the ingest stream: train the corpus-scaled
+    quantizer (unless a broadcast is supplied) and map every vector to its
+    nearest cell in ONE zero-shuffle Arrow matmul pass (argmax over
+    integer-exact cosines; first max == lowest cent_id on ties, matching
+    the oracle's (sim DESC, cent_id) ordering).
+    Returns (vec_id, cell, embedding)."""
+    if bc_cent is None:
+        bc_cent = _corpus_quantizer(spark, e_scan)
 
     def gen_assign(batches):
         import numpy as np
