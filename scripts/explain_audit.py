@@ -82,6 +82,9 @@ AUDITS = {
     "image_curate": ([], ["CartesianProduct"]),
     # map-only transform pipeline: no join of any kind in the plan
     "image_thumbnail": ([], ["CartesianProduct", "Join"]),
+    # (the generator's MapInPandas sits behind _pack_bins' localCheckpoint,
+    # so the final plan starts at the checkpointed scan)
+    "image_shard_pack": ([], ["CartesianProduct", "Join", "BatchEvalPython"]),
     # 1:1 two-tower scoring: equi-joins on the embedding key only — never a
     # similarity self-join (retrieval is the ANN queries' job)
     "image_caption_align": ([], ["CartesianProduct", "BroadcastNestedLoopJoin"]),

@@ -458,6 +458,40 @@ def test_corpus_pipeline_full_verdict(spark):
     assert {"repetitive", "boilerplate", "model_filtered", "downsampled", "kept"} <= seen_reasons
 
 
+def test_image_shard_pack_verdict(spark):
+    """Third-engine check of the byte-budget shard packing: every row's
+    (n_bytes, cum_bytes, shard_id) equals a pure-Python recompute from the
+    codec's own payload sizes, shards fill contiguously in image order, and
+    the budget actually splits the corpus into multiple shards."""
+    from web_crawler_spark.analytics.multimodal import (
+        N_IMAGES,
+        SHARD_BYTES,
+        LOCAL_QUERIES as MM_LOCAL,
+    )
+    from web_crawler_spark.core import imagecodec
+
+    rows = {r["image_id"]: r for r in MM_LOCAL["image_shard_pack"](spark, SF_DIR).collect()}
+    assert len(rows) == N_IMAGES
+    cum = 0
+    last_shard = 0
+    shards = set()
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        n = len(imagecodec.image_row(iid, seed=42)["bytes"]) + len(
+            f"caption for img-{i}".encode()
+        )
+        r = rows[iid]
+        assert r["n_bytes"] == n
+        shard = cum // SHARD_BYTES
+        cum += n
+        assert r["cum_bytes"] == cum
+        assert r["shard_id"] == shard
+        assert shard >= last_shard  # contiguous fill, never back-assigned
+        last_shard = shard
+        shards.add(shard)
+    assert len(shards) > 1  # the budget actually splits the corpus
+
+
 def test_image_thumbnail_roundtrip(spark):
     """The resize transform emits REAL binaries: decode every emitted
     thumbnail, check dims = ceil(src/4), and check pixels equal the

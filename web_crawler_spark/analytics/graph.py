@@ -136,10 +136,11 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node
 PACK_CAP = 1024  # tokens per context window
 
 
-def _pack_bins(toks: DataFrame) -> DataFrame:
+def _pack_bins(toks: DataFrame, cap: int = PACK_CAP) -> DataFrame:
     """(doc_id, n_tokens) → + (cum_tokens, bin_id) by global doc_id-order
-    cumsum, two-phase (see module note). Shared by doc_pack and
-    corpus_pipeline."""
+    cumsum, two-phase (see module note). Shared by doc_pack,
+    corpus_pipeline and the image tier's byte-budget shard packing
+    (multimodal.image_shard_pack, which passes its own *cap*)."""
     part = (
         toks.repartitionByRange("doc_id")
         .sortWithinPartitions("doc_id")
@@ -167,7 +168,7 @@ def _pack_bins(toks: DataFrame) -> DataFrame:
             "n_tokens",
             (offset_expr + F.col("cum_local")).cast("long").alias("cum_tokens"),
         )
-        .withColumn("bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {PACK_CAP}"))
+        .withColumn("bin_id", F.expr(f"(cum_tokens - n_tokens) DIV {cap}"))
     )
 
 

@@ -1192,12 +1192,72 @@ SELECT image_id, align_sim, (align_sim >= {ALIGN_T}) AS keep FROM sims
 # driver-evidenced twice over — the verdict pattern by dedup_clusters (text)
 # and the image pair source by image_phash_neardup — and demoting it buys the
 # 8 KiB driver CORRECTNESS file ~330 B of margin against truncation.
+# --- image_shard_pack --------------------------------------------------------
+# WebDataset-style shard packing: assign (image, caption) rows — in image-id
+# order — to fixed BYTE-budget training shards by global byte cumsum, the
+# image twin of graph.doc_pack's token packing (LAION-scale pipelines write
+# exactly this layout: contiguous samples until the shard budget fills, next
+# shard). Reuses graph._pack_bins, so the global cumsum is the same
+# TWO-PHASE range-partition plan — no single-partition WindowExec at any
+# scale — and the payload bytes never enter the plan (sizes only: one
+# length() projection per row, no decode).
+SHARD_BYTES = 1 << 16  # 64 KiB test-scale budget (real shards: 100 MB-1 GB)
+
+
+def image_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _pack_bins
+
+    imgs = _images(spark, sf_dir)
+    doc = F.regexp_extract("image_id", r"^img-(\d+)", 1).cast("bigint")
+    sized = imgs.select(
+        doc.alias("doc_id"),
+        (F.length("bytes") + F.octet_length("caption")).cast("long").alias("n_tokens"),
+    )
+    bins = _pack_bins(sized, cap=SHARD_BYTES)
+    return bins.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
+        F.col("n_tokens").alias("n_bytes"),
+        F.col("cum_tokens").alias("cum_bytes"),
+        F.col("bin_id").alias("shard_id"),
+    )
+
+
+def _expected_sizes() -> list[tuple]:
+    """Driver-side (doc_id, image_id, n_bytes) ground truth: payload bytes +
+    utf-8 caption bytes, same codec path pure-Python in-process."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r = imagecodec.image_row(iid, seed=42)
+        out.append((i, iid, len(r["bytes"]) + len(f"caption for img-{i}".encode())))
+    return out
+
+
+SQL_IMAGE_SHARD_PACK = """
+WITH expected(doc_id, image_id, n_bytes) AS (
+  VALUES {values}
+),
+sel AS (SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_images})),
+sized AS (SELECT e.doc_id, e.image_id, e.n_bytes FROM expected e JOIN sel USING (doc_id)),
+cum AS (
+  SELECT image_id, doc_id, n_bytes,
+         SUM(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
+  FROM sized
+)
+SELECT image_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(cum_bytes AS BIGINT) AS cum_bytes,
+       CAST((cum_bytes - n_bytes) // {shard_bytes} AS BIGINT) AS shard_id
+FROM cum ORDER BY doc_id
+"""
+
+
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
     "image_curate": image_curate,
     "image_thumbnail": image_thumbnail,
     "image_caption_align": image_caption_align,
+    "image_shard_pack": image_shard_pack,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
@@ -1215,4 +1275,9 @@ LOCAL_ORACLES = {
         values=_values(_expected_thumbs()), img_sel=_img_sel(N_IMAGES)
     ),
     "image_caption_align": _sql_caption_align(),
+    "image_shard_pack": SQL_IMAGE_SHARD_PACK.format(
+        values=_values(_expected_sizes()),
+        n_images=N_IMAGES,
+        shard_bytes=SHARD_BYTES,
+    ),
 }
