@@ -458,6 +458,20 @@ def test_corpus_pipeline_full_verdict(spark):
     assert {"repetitive", "boilerplate", "model_filtered", "downsampled", "kept"} <= seen_reasons
 
 
+def test_brute_force_guard_refuses_large_inputs(spark):
+    """The O(n²) exactness baselines must REFUSE oversized inputs — the
+    contract that stops a registered all-pairs query from ever emitting a
+    10²⁰-pair plan against a production corpus."""
+    import pytest as _pytest
+
+    from web_crawler_spark.analytics.similarity import _guard_brute_force
+
+    small = spark.range(10).withColumnRenamed("id", "vec_id")
+    _guard_brute_force(small, "q", cap=100)  # under the cap: no raise
+    with _pytest.raises(ValueError, match="refuses inputs over"):
+        _guard_brute_force(small, "q", cap=5)
+
+
 def test_image_shard_pack_verdict(spark):
     """Third-engine check of the byte-budget shard packing: every row's
     (n_bytes, cum_bytes, shard_id) equals a pure-Python recompute from the
