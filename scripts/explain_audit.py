@@ -99,6 +99,17 @@ AUDITS = {
     # stage can never fall back to a cartesian or per-vec window shuffle
     "embed_semdedup": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "BatchEvalPython"]),
     "embed_decontaminate": (["MapInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin", "Window", "BatchEvalPython"]),
+    # digest groupBy only: map-side partial agg + ONE shuffle on the digest,
+    # no join, no window (min(string) has no fixed-width buffer, so Spark
+    # picks SortAggregate — still partial-agg'd before the exchange; Python
+    # is the synthetic-images generator mapInPandas, as everywhere else)
+    "image_exact_dedup": (["SortAggregate", "Exchange"], ["Join", "Window", "CartesianProduct"]),
+    # ladder argmin inside one projection: map-only — no join, no window,
+    # no shuffle of any kind past the generator
+    "image_res_bucket": ([], ["Join", "Window", "CartesianProduct"]),
+    # payloads ⋈ assignment equi-join, then ONE shuffle keyed by shard_id
+    # into the applyInPandas writer — no cartesian, no global window
+    "image_shard_bytes": (["FlatMapGroupsInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
 }
 
 

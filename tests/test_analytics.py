@@ -565,3 +565,85 @@ def test_image_curate_verdict(spark):
     # every planted variant sorts after its base -> never the keeper
     assert all(rows[i]["drop_reason"] == "near_duplicate" for i in rows if i.endswith("-v"))
     assert {"near_duplicate", "too_small", "bad_aspect", "kept"} <= seen
+
+
+def test_image_exact_dedup_verdict(spark):
+    """Third-engine check of byte-level payload dedup: each digest row's
+    (n_copies, keeper) equals a pure-Python hashlib recompute from the codec
+    bytes, planted copies collapse onto their base, and no two distinct
+    images collide."""
+    import hashlib
+
+    from web_crawler_spark.analytics.multimodal import COPY_EVERY, N_IMAGES
+    from web_crawler_spark.core import imagecodec
+
+    rows = {r["digest"]: r for r in LOCAL_QUERIES["image_exact_dedup"](spark, SF_DIR).collect()}
+    assert len(rows) == N_IMAGES  # every copy collapsed, no digest collisions
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        d = hashlib.md5(imagecodec.image_row(iid, seed=42)["bytes"]).hexdigest()
+        r = rows[d]
+        assert r["keeper"] == iid  # base sorts before its '-c' copy
+        assert r["n_copies"] == (2 if i % COPY_EVERY == 0 else 1)
+
+
+def test_image_res_bucket_assignment(spark):
+    """Third-engine check of aspect-ratio bucketing: every image's bucket
+    equals a pure-Python argmin over the same ladder, and the corpus
+    actually spreads over several buckets."""
+    from web_crawler_spark.analytics.multimodal import N_IMAGES, _bucket_ladder
+    from web_crawler_spark.core import imagecodec
+
+    ladder = _bucket_ladder()
+    assert len(ladder) >= 5  # a real ladder, not a degenerate pair
+    rows = {r["image_id"]: r for r in LOCAL_QUERIES["image_res_bucket"](spark, SF_DIR).collect()}
+    assert len(rows) == N_IMAGES
+    used = set()
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        base = imagecodec.image_row(iid, seed=42)
+        w, h = base["w"], base["h"]
+        best = min((abs(w * bh - h * bw) / (bw * bh), bi) for bi, bw, bh in ladder)
+        r = rows[iid]
+        assert (r["bucket_id"], r["w"], r["h"]) == (best[1], w, h)
+        assert (r["bucket_w"], r["bucket_h"]) == ladder[best[1]][1:]
+        used.add(best[1])
+    assert len(used) >= 4  # wide-aspect corpus spreads across the ladder
+
+
+def test_image_shard_roundtrip(spark):
+    """The shard writer emits REAL containers: reading every blob back
+    yields exactly the source (image_id, bytes, caption) rows, in image
+    order within each shard, with the shard assignment of image_shard_pack;
+    a corrupted blob raises."""
+    import pytest as _pytest
+
+    from web_crawler_spark.analytics.multimodal import (
+        N_IMAGES,
+        SHARD_BYTES,
+        _shard_blobs,
+        read_shard,
+        read_shards,
+    )
+    from web_crawler_spark.core import imagecodec
+
+    blobs = _shard_blobs(spark, SF_DIR).collect()
+    back = read_shards(_shard_blobs(spark, SF_DIR)).collect()
+    assert sum(r["n_records"] for r in blobs) == N_IMAGES
+    assert len(back) == N_IMAGES
+    cum, expect_sid = 0, {}
+    for i in range(N_IMAGES):
+        data = imagecodec.image_row(f"img-{i}", seed=42)["bytes"]
+        expect_sid[f"img-{i}"] = cum // SHARD_BYTES
+        cum += len(data) + len(f"caption for img-{i}".encode())
+    for r in back:
+        assert r["shard_id"] == expect_sid[r["image_id"]]
+        src = imagecodec.image_row(r["image_id"], seed=42)
+        assert bytes(r["bytes"]) == src["bytes"]
+        assert r["caption"] == f"caption for {r['image_id']}"
+    # framing is checked, not assumed
+    blob = bytes(blobs[0]["blob"])
+    with _pytest.raises(ValueError):
+        read_shard(blob[:-1])
+    with _pytest.raises(ValueError):
+        read_shard(b"XXXX" + blob[4:])

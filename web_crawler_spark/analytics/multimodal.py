@@ -28,7 +28,9 @@ ground truth.
 
 from __future__ import annotations
 
+import hashlib
 import math
+import struct
 import zlib
 from typing import Iterator
 
@@ -1251,6 +1253,313 @@ FROM cum ORDER BY doc_id
 """
 
 
+# --- image_exact_dedup -------------------------------------------------------
+# LAION-scale pipelines dedup byte-identical payloads (re-crawls, mirrors,
+# CDN copies) BEFORE any perceptual pass: hash the raw bytes, keep one row
+# per digest. Planted ground truth: every COPY_EVERY-th base image ships a
+# byte-identical re-crawl copy (``img-{id}-c`` — same bytes, new id).
+COPY_EVERY = 5
+
+
+def _images_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Images table plus planted byte-identical copies (``img-{id}-c``)."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_IMAGES)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                row = imagecodec.image_row(f"img-{doc_id}", seed=42)
+                row["caption"] = f"caption for img-{doc_id}"
+                rows.append(row)
+                if int(doc_id) % COPY_EVERY == 0:
+                    copy = dict(row)
+                    copy["image_id"] = row["image_id"] + "-c"
+                    rows.append(copy)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    n = N_IMAGES + -(-N_IMAGES // COPY_EVERY)
+    return ids.repartition(_gen_partitions(spark, n), "doc_id").mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup over the raw binary column: md5 of the bytes
+    (computed JVM-side over the Arrow-crossed binaries), one groupBy on the
+    digest — map-side partial agg, a single shuffle keyed by the digest at
+    any corpus size (the LAION step-1 shape; digests are uniform so the
+    shuffle cannot skew). Keeper = lexicographic-min image_id. Parity pins
+    the digests exactly: the oracle's md5s are pure-Python hashlib over an
+    independent single-process codec run, so a match proves the payload
+    bytes crossed Arrow into the JVM bit-for-bit."""
+    imgs = _images_with_copies(spark, sf_dir)
+    return (
+        imgs.select("image_id", F.md5("bytes").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("image_id").alias("keeper"))
+    )
+
+
+def _expected_digests() -> list[tuple]:
+    """Driver-side (doc_id, image_id, md5-hex) ground truth for base images
+    and their planted byte-identical copies."""
+    out = []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        digest = hashlib.md5(imagecodec.image_row(iid, seed=42)["bytes"]).hexdigest()
+        out.append((i, iid, digest))
+        if i % COPY_EVERY == 0:
+            out.append((i, f"{iid}-c", digest))
+    return out
+
+
+SQL_IMAGE_EXACT_DEDUP = """
+WITH expected(doc_id, image_id, digest) AS (
+  VALUES {values}
+),
+sel AS (SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_images})),
+rows_ AS (SELECT e.image_id, e.digest FROM expected e JOIN sel USING (doc_id))
+SELECT digest, COUNT(*) AS n_copies, MIN(image_id) AS keeper
+FROM rows_ GROUP BY digest
+"""
+
+
+# --- image_res_bucket --------------------------------------------------------
+# SDXL/NovelAI-style aspect-ratio bucketing: diffusion training forms batches
+# from images of ONE resolution, so the corpus is binned to a fixed ladder of
+# (w, h) buckets of roughly equal pixel area and the nearest aspect ratio —
+# avoiding destructive center-crops. Stand-in scale: area ≈ BUCKET_AREA and
+# BUCKET_STEP-aligned sides (SDXL uses 1024² and multiples of 64).
+BUCKET_AREA = 2048
+BUCKET_STEP = 8
+BUCKET_MAX_ASPECT = 4
+
+
+def _bucket_ladder() -> list[tuple[int, int, int]]:
+    """Deterministic (bucket_id, bw, bh) ladder: widths stepping by
+    BUCKET_STEP, height snapped so bw*bh ≈ BUCKET_AREA, aspect clamped to
+    [1/BUCKET_MAX_ASPECT, BUCKET_MAX_ASPECT]. Pure Python — the ladder is
+    inlined as literals in BOTH engines, so its rounding never crosses."""
+    out, idx, seen = [], 0, set()
+    for bw in range(BUCKET_STEP * 2, 129, BUCKET_STEP):
+        bh = max(BUCKET_STEP, round(BUCKET_AREA / bw / BUCKET_STEP) * BUCKET_STEP)
+        if bw * BUCKET_MAX_ASPECT < bh or bh * BUCKET_MAX_ASPECT < bw or (bw, bh) in seen:
+            continue
+        seen.add((bw, bh))
+        out.append((idx, bw, bh))
+        idx += 1
+    return out
+
+
+def image_res_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every image to the ladder bucket with the nearest aspect
+    ratio. Metadata only (w, h columns — no decode), and the argmin runs
+    inside ONE projection: the ladder is a literal array of structs and
+    `array_min` picks the (distance, bucket_id)-lexicographic minimum — a
+    map-only plan with zero joins and zero shuffles at any corpus size.
+    Distance = |w*bh - h*bw| / (bw*bh): one exact integer difference (fits
+    a double exactly at these magnitudes) and one IEEE division of exact
+    integers, bit-identical in the JVM and DuckDB; ties break on the lower
+    bucket_id in both engines."""
+    ladder = _bucket_ladder()
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        F.abs(F.col("w") * F.lit(bh) - F.col("h") * F.lit(bw)) / F.lit(bw * bh)
+                    ).alias("d"),
+                    F.lit(i).alias("bucket_id"),
+                    F.lit(bw).alias("bucket_w"),
+                    F.lit(bh).alias("bucket_h"),
+                )
+                for i, bw, bh in ladder
+            ]
+        )
+    )
+    return (
+        _images(spark, sf_dir)
+        .select("image_id", "w", "h", best.alias("b"))
+        .select("image_id", "w", "h", "b.bucket_id", "b.bucket_w", "b.bucket_h")
+    )
+
+
+SQL_IMAGE_RES_BUCKET = """
+WITH dims(image_id, w, h) AS (
+  VALUES {dims}
+),
+{img_sel},
+meta AS (SELECT d.image_id, d.w, d.h FROM sel JOIN dims d USING (image_id)),
+ladder(bucket_id, bw, bh) AS (
+  VALUES {ladder}
+),
+scored AS (
+  SELECT m.image_id, m.w, m.h, l.bucket_id, l.bw, l.bh,
+         abs(m.w * l.bh - m.h * l.bw) / CAST(l.bw * l.bh AS DOUBLE) AS d
+  FROM meta m CROSS JOIN ladder l
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, bucket_id) AS rn
+  FROM scored
+)
+SELECT image_id, w, h, bucket_id, bw AS bucket_w, bh AS bucket_h
+FROM ranked WHERE rn = 1
+"""
+
+
+# --- image_shard_bytes -------------------------------------------------------
+# Materialized WebDataset-style shards: image_shard_pack ASSIGNS rows to
+# byte-budget shards; this stage actually CONCATENATES each shard's records
+# into one container blob (magic, record count, length-prefixed
+# (image_id, payload, caption) records in image order) — the layout training
+# loaders stream sequentially. read_shards() is the inverse source format.
+SHARD_MAGIC = b"WCSH"
+
+
+def shard_blob(recs: list) -> bytes:
+    """Shard container bytes for [(image_id, payload, caption), ...] in
+    order. Pure function — the oracle recomputes it driver-side."""
+    out = [SHARD_MAGIC, struct.pack("<I", len(recs))]
+    for iid, data, caption in recs:
+        ib, cb = iid.encode(), caption.encode()
+        out.append(struct.pack("<III", len(ib), len(data), len(cb)))
+        out += [ib, bytes(data), cb]
+    return b"".join(out)
+
+
+def read_shard(blob: bytes) -> list:
+    """Inverse of shard_blob; raises ValueError on a corrupt container."""
+    if blob[:4] != SHARD_MAGIC:
+        raise ValueError("bad shard magic")
+    (n,) = struct.unpack_from("<I", blob, 4)
+    off, recs = 8, []
+    for _ in range(n):
+        li, ld, lc = struct.unpack_from("<III", blob, off)
+        off += 12
+        iid = blob[off : off + li].decode()
+        off += li
+        data = blob[off : off + ld]
+        off += ld
+        recs.append((iid, data, blob[off : off + lc].decode()))
+        off += lc
+    if off != len(blob):
+        raise ValueError("trailing bytes in shard")
+    return recs
+
+
+SHARD_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("n_records", T.IntegerType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+    ]
+)
+
+SHARD_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("caption", T.StringType(), False),
+    ]
+)
+
+
+def _shard_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join payloads to the byte-budget assignment and concatenate each
+    shard's records in image order — one applyInPandas group per shard, so
+    the only wide op is the shuffle keyed by shard_id (shards are
+    budget-bounded: a group is never bigger than SHARD_BYTES plus one
+    record, so the Arrow batch per task stays bounded at any corpus size)."""
+    imgs = _images(spark, sf_dir).select(
+        F.substring("image_id", 5, 20).cast("bigint").alias("doc_id"),
+        "image_id",
+        "bytes",
+        "caption",
+    )
+    asg = image_shard_pack(spark, sf_dir).select("image_id", "shard_id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = shard_blob(list(zip(pdf["image_id"], pdf["bytes"], pdf["caption"])))
+        return pd.DataFrame(
+            [{"shard_id": int(pdf["shard_id"].iloc[0]), "n_records": len(pdf), "blob": blob}]
+        )
+
+    return imgs.join(asg, "image_id").groupBy("shard_id").applyInPandas(
+        lambda _k, pdf: pack(pdf), SHARD_BLOB_SCHEMA
+    )
+
+
+def read_shards(blobs: DataFrame) -> DataFrame:
+    """Source-format reader: explode shard containers back into (image,
+    caption) rows — mapInPandas, so a real 100 MB-1 GB shard unpacks inside
+    its own task with no driver involvement; corrupt shards raise."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf["shard_id"], pdf["blob"]):
+                for iid, data, cap in read_shard(bytes(blob)):
+                    rows.append((int(sid), iid, data, cap))
+            yield pd.DataFrame(rows, columns=[f.name for f in SHARD_READ_SCHEMA.fields])
+
+    return blobs.mapInPandas(unpack, SHARD_READ_SCHEMA)
+
+
+def image_shard_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered projection of the shard writer: drops the blob column and
+    pins it EXACTLY via the JVM-side crc32 (the oracle's crc is pure-Python
+    zlib over an independent single-process construction of the same
+    shards), so parity proves record order, framing, and every payload byte
+    inside every shard."""
+    return _shard_blobs(spark, sf_dir).select(
+        "shard_id",
+        "n_records",
+        F.length("blob").alias("shard_bytes"),
+        F.crc32("blob").alias("shard_crc"),
+    )
+
+
+def _expected_shards() -> tuple[list[tuple], list[tuple]]:
+    """Driver-side recompute of the full shard layout: per-image (doc_id,
+    shard_id) assignment and per-shard (shard_id, shard_bytes, crc) over the
+    same codec payloads, pure-Python in-process."""
+    cum, by_shard, asg = 0, {}, []
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        data = imagecodec.image_row(iid, seed=42)["bytes"]
+        cap = f"caption for img-{i}"
+        sid = cum // SHARD_BYTES
+        cum += len(data) + len(cap.encode())
+        by_shard.setdefault(sid, []).append((iid, data, cap))
+        asg.append((i, sid))
+    stats = []
+    for sid in sorted(by_shard):
+        blob = shard_blob(by_shard[sid])
+        stats.append((sid, len(blob), zlib.crc32(blob)))
+    return asg, stats
+
+
+SQL_IMAGE_SHARD_BYTES = """
+WITH asg(doc_id, shard_id) AS (
+  VALUES {asg}
+),
+sel AS (SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_images})),
+cnt AS (
+  SELECT shard_id, COUNT(*) AS n_records
+  FROM asg JOIN sel USING (doc_id) GROUP BY shard_id
+),
+expected(shard_id, shard_bytes, shard_crc) AS (
+  VALUES {stats}
+)
+SELECT CAST(c.shard_id AS BIGINT) AS shard_id,
+       CAST(c.n_records AS INT) AS n_records,
+       CAST(e.shard_bytes AS INT) AS shard_bytes,
+       CAST(e.shard_crc AS BIGINT) AS shard_crc
+FROM cnt c JOIN expected e USING (shard_id)
+"""
+
+
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
@@ -1258,6 +1567,9 @@ LOCAL_QUERIES = {
     "image_thumbnail": image_thumbnail,
     "image_caption_align": image_caption_align,
     "image_shard_pack": image_shard_pack,
+    "image_exact_dedup": image_exact_dedup,
+    "image_res_bucket": image_res_bucket,
+    "image_shard_bytes": image_shard_bytes,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
@@ -1279,5 +1591,18 @@ LOCAL_ORACLES = {
         values=_values(_expected_sizes()),
         n_images=N_IMAGES,
         shard_bytes=SHARD_BYTES,
+    ),
+    "image_exact_dedup": SQL_IMAGE_EXACT_DEDUP.format(
+        values=_values(_expected_digests()), n_images=N_IMAGES
+    ),
+    "image_res_bucket": SQL_IMAGE_RES_BUCKET.format(
+        dims=_values(_expected_dims()),
+        img_sel=_img_sel(N_IMAGES),
+        ladder=_values(_bucket_ladder()),
+    ),
+    "image_shard_bytes": SQL_IMAGE_SHARD_BYTES.format(
+        asg=_values(_expected_shards()[0]),
+        stats=_values(_expected_shards()[1]),
+        n_images=N_IMAGES,
     ),
 }
