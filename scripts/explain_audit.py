@@ -110,6 +110,12 @@ AUDITS = {
     # payloads ⋈ assignment equi-join, then ONE shuffle keyed by shard_id
     # into the applyInPandas writer — no cartesian, no global window
     "image_shard_bytes": (["FlatMapGroupsInPandas"], ["CartesianProduct", "BroadcastNestedLoopJoin"]),
+    # metadata-only token costing + two-phase cumsum: per-partition window
+    # only (pack_bins), no join, no cartesian
+    "vlm_pack": ([], ["CartesianProduct", "Join", "BatchEvalPython"]),
+    # map-only argmin → tiny partial-agg'd count → broadcast of the
+    # ladder-sized (true constant cardinality) count table → map-only filter
+    "image_bucket_sample": (["BroadcastHashJoin"], ["CartesianProduct", "Window", "SortMergeJoin"]),
 }
 
 

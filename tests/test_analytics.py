@@ -647,3 +647,69 @@ def test_image_shard_roundtrip(spark):
         read_shard(blob[:-1])
     with _pytest.raises(ValueError):
         read_shard(b"XXXX" + blob[4:])
+
+
+def test_vlm_pack_budget(spark):
+    """Third-engine check of VLM sequence packing: every image's token cost
+    equals the pure-Python patch-grid + caption recompute, the global cumsum
+    is exact, every window respects the budget (single oversized examples
+    excepted, as in doc_pack), and windows are contiguous from 0."""
+    from web_crawler_spark.analytics.multimodal import N_IMAGES, VLM_CTX, VLM_PATCH, vlm_pack
+    from web_crawler_spark.core import imagecodec
+
+    rows = {r["image_id"]: r for r in vlm_pack(spark, SF_DIR).collect()}
+    assert len(rows) == N_IMAGES
+    cum = 0
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r0 = imagecodec.image_row(iid, seed=42)
+        w, h = r0["w"], r0["h"]
+        p = VLM_PATCH
+        n = ((w + p - 1) // p) * ((h + p - 1) // p) + len(f"caption for {iid}".split())
+        r = rows[iid]
+        assert (r["n_tokens"], r["window_id"]) == (n, cum // VLM_CTX)
+        cum += n
+        assert r["cum_tokens"] == cum
+    wins = sorted({r["window_id"] for r in rows.values()})
+    assert wins == list(range(len(wins))) and len(wins) >= 3
+
+
+def test_image_bucket_sample_deterministic(spark):
+    """Third-engine check of balanced bucket sampling: the kept set equals a
+    pure-Python md5-threshold recompute over the same ladder assignment, and
+    dominant buckets are actually capped near the target."""
+    import hashlib
+
+    from web_crawler_spark.analytics.multimodal import (
+        N_IMAGES,
+        SAMPLE_PER_BUCKET,
+        _bucket_ladder,
+        image_bucket_sample,
+    )
+    from web_crawler_spark.core import imagecodec
+
+    ladder = _bucket_ladder()
+    asg, counts = {}, {}
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        r = imagecodec.image_row(iid, seed=42)
+        w, h = r["w"], r["h"]
+        bid = min((abs(w * bh - h * bw) / (bw * bh), b) for b, bw, bh in ladder)[1]
+        asg[iid] = bid
+        counts[bid] = counts.get(bid, 0) + 1
+    expect = set()
+    for iid, bid in asg.items():
+        thr = min((1 << 48) - 1, SAMPLE_PER_BUCKET * (1 << 48) // counts[bid])
+        if hashlib.md5(iid.encode()).hexdigest()[:12] <= f"{thr:012x}":
+            expect.add(iid)
+    rows = image_bucket_sample(spark, SF_DIR).collect()
+    assert {r["image_id"] for r in rows} == expect
+    for r in rows:
+        assert (r["bucket_id"], r["n_bucket"]) == (asg[r["image_id"]], counts[asg[r["image_id"]]])
+    # a bucket bigger than the target is genuinely downsampled
+    big = [b for b, c in counts.items() if c >= 2 * SAMPLE_PER_BUCKET]
+    assert big, "corpus too uniform for the cap to bind — raise N_IMAGES"
+    for b in big:
+        kept = sum(1 for iid in expect if asg[iid] == b)
+        assert kept < counts[b]  # cap bound
+        assert abs(kept - SAMPLE_PER_BUCKET) <= 3 * SAMPLE_PER_BUCKET**0.5 + 1

@@ -1560,6 +1560,138 @@ FROM cnt c JOIN expected e USING (shard_id)
 """
 
 
+# --- vlm_pack ----------------------------------------------------------------
+# VLM training-sequence packing: a vision-language example costs
+# vision_tokens (the ViT patch grid, ceil(w/P)*ceil(h/P)) plus its caption's
+# text tokens, and examples are packed greedily into fixed context windows by
+# global token cumsum — the multimodal analogue of doc_pack. Metadata-only:
+# w/h are table columns, so NO decode enters the plan. Stand-in scale:
+# patch 8 (real ViTs: 14/16), window 512 (real: 8k-128k).
+VLM_PATCH = 8
+VLM_CTX = 512
+
+
+def vlm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack (image, caption) examples into VLM context windows. Token cost
+    is exact integer arithmetic in both engines: `(w + P-1) DIV P` per axis
+    for the patch grid, whitespace-split size for the caption. The cumsum is
+    graph._pack_bins — the two-phase range-partition plan (per-partition
+    window + O(P) driver offsets), so there is no single-partition WindowExec
+    at any corpus size and the only wide op is the range repartition."""
+    from .graph import _pack_bins
+
+    imgs = _images(spark, sf_dir)
+    doc = F.regexp_extract("image_id", r"^img-(\d+)", 1).cast("bigint")
+    p = VLM_PATCH
+    sized = imgs.select(
+        doc.alias("doc_id"),
+        (
+            F.expr(f"((w + {p - 1}) DIV {p}) * ((h + {p - 1}) DIV {p})")
+            + F.size(F.split("caption", " "))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    bins = _pack_bins(sized, cap=VLM_CTX)
+    return bins.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
+        "n_tokens",
+        "cum_tokens",
+        F.col("bin_id").alias("window_id"),
+    )
+
+
+SQL_VLM_PACK = """
+WITH dims(image_id, w, h) AS (
+  VALUES {dims}
+),
+sel AS (SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id, doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_images})),
+toks AS (
+  SELECT s.doc_id, s.image_id,
+         ((d.w + {pm1}) // {p}) * ((d.h + {pm1}) // {p})
+           + len(string_split('caption for ' || s.image_id, ' ')) AS n_tokens
+  FROM sel s JOIN dims d USING (image_id)
+),
+cum AS (
+  SELECT image_id, doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+SELECT image_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((cum_tokens - n_tokens) // {ctx} AS BIGINT) AS window_id
+FROM cum ORDER BY doc_id
+"""
+
+
+# --- image_bucket_sample -----------------------------------------------------
+# Balanced resampling across the aspect-ratio buckets: curation pipelines cap
+# each bucket at a per-bucket budget so one dominant aspect (web screenshots,
+# phone photos) can't swamp the training mix — the image analogue of domain
+# resampling. Deterministic md5-threshold sampling (no RNG state): keep a row
+# iff its 48-bit md5 prefix is <= the bucket's integer threshold
+# min(2^48-1, target*2^48 DIV n_bucket), so the kept set is a pure function
+# of (image_id, bucket counts) and identical on any partition layout.
+SAMPLE_PER_BUCKET = 24
+
+
+def image_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket threshold sampling. Plan shape: map-only ladder argmin →
+    per-bucket count (map-side partial agg collapses every task to at most
+    |ladder| rows before ONE tiny exchange) → broadcast of the ladder-sized
+    count table (a TRUE constant-cardinality side — |ladder| rows at any
+    corpus size, so the hint is safe per the broadcast policy) → map-only
+    hex-threshold filter. No window, no big shuffle, no decode. The
+    threshold compare is on fixed-width lowercase hex strings, bit-identical
+    cross-engine; at 100 TB the same integer DIV threshold stays exact (the
+    2^48 numerator fits a long for any target < 2^15)."""
+    b = image_res_bucket(spark, sf_dir).select("image_id", "bucket_id")
+    cnt = b.groupBy("bucket_id").agg(F.count("*").alias("n_bucket"))
+    thr = F.least(
+        F.lit((1 << 48) - 1),
+        F.expr(f"CAST({SAMPLE_PER_BUCKET} * 281474976710656 AS BIGINT) DIV n_bucket"),
+    )
+    cnt = cnt.select("bucket_id", "n_bucket", F.lower(F.lpad(F.hex(thr), 12, "0")).alias("thr_hex"))
+    return (
+        b.join(F.broadcast(cnt), "bucket_id")
+        .filter(F.substring(F.md5("image_id"), 1, 12) <= F.col("thr_hex"))
+        .select("image_id", "bucket_id", "n_bucket")
+    )
+
+
+SQL_IMAGE_BUCKET_SAMPLE = """
+WITH dims(image_id, w, h) AS (
+  VALUES {dims}
+),
+{img_sel},
+meta AS (SELECT d.image_id, d.w, d.h FROM sel JOIN dims d USING (image_id)),
+ladder(bucket_id, bw, bh) AS (
+  VALUES {ladder}
+),
+scored AS (
+  SELECT m.image_id, l.bucket_id,
+         abs(m.w * l.bh - m.h * l.bw) / CAST(l.bw * l.bh AS DOUBLE) AS d
+  FROM meta m CROSS JOIN ladder l
+),
+asg AS (
+  SELECT image_id, bucket_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY d, bucket_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+cnt AS (
+  SELECT bucket_id, COUNT(*) AS n_bucket,
+         lower(lpad(printf('%x', least(281474976710655,
+               ({target} * 281474976710656) // COUNT(*))), 12, '0')) AS thr_hex
+  FROM asg GROUP BY bucket_id
+)
+SELECT a.image_id, a.bucket_id, CAST(c.n_bucket AS BIGINT) AS n_bucket
+FROM asg a JOIN cnt c USING (bucket_id)
+WHERE substr(md5(a.image_id), 1, 12) <= c.thr_hex
+"""
+
+
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
@@ -1570,6 +1702,8 @@ LOCAL_QUERIES = {
     "image_exact_dedup": image_exact_dedup,
     "image_res_bucket": image_res_bucket,
     "image_shard_bytes": image_shard_bytes,
+    "vlm_pack": vlm_pack,
+    "image_bucket_sample": image_bucket_sample,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
@@ -1604,5 +1738,18 @@ LOCAL_ORACLES = {
         asg=_values(_expected_shards()[0]),
         stats=_values(_expected_shards()[1]),
         n_images=N_IMAGES,
+    ),
+    "vlm_pack": SQL_VLM_PACK.format(
+        dims=_values(_expected_dims()),
+        n_images=N_IMAGES,
+        p=VLM_PATCH,
+        pm1=VLM_PATCH - 1,
+        ctx=VLM_CTX,
+    ),
+    "image_bucket_sample": SQL_IMAGE_BUCKET_SAMPLE.format(
+        dims=_values(_expected_dims()),
+        img_sel=_img_sel(N_IMAGES),
+        ladder=_values(_bucket_ladder()),
+        target=SAMPLE_PER_BUCKET,
     ),
 }
