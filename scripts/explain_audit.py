@@ -116,6 +116,9 @@ AUDITS = {
     # map-only argmin → tiny partial-agg'd count → broadcast of the
     # ladder-sized (true constant cardinality) count table → map-only filter
     "image_bucket_sample": (["BroadcastHashJoin"], ["CartesianProduct", "Window", "SortMergeJoin"]),
+    # one decode mapInPandas then a map-only integer head — no join, no
+    # window, no cartesian (the only Exchange is the generator's repartition)
+    "image_classify_aesthetic": (["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
 }
 
 

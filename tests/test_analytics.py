@@ -713,3 +713,30 @@ def test_image_bucket_sample_deterministic(spark):
         kept = sum(1 for iid in expect if asg[iid] == b)
         assert kept < counts[b]  # cap bound
         assert abs(kept - SAMPLE_PER_BUCKET) <= 3 * SAMPLE_PER_BUCKET**0.5 + 1
+
+
+def test_image_classify_aesthetic_verdict(spark):
+    """Third-engine check of the image classifier gate: every image's logit
+    equals the pure-Python decode+features recompute through the identical
+    floor-quantized head, and the threshold splits the corpus nontrivially."""
+    import math
+
+    from web_crawler_spark.analytics.multimodal import (
+        AESTH_THRESH,
+        N_IMAGES,
+        image_classify_aesthetic,
+    )
+    from web_crawler_spark.core import imagecodec
+
+    rows = {r["image_id"]: r for r in image_classify_aesthetic(spark, SF_DIR).collect()}
+    assert len(rows) == N_IMAGES
+    kept = 0
+    for i in range(N_IMAGES):
+        iid = f"img-{i}"
+        px, _, _, _ = imagecodec.decode(imagecodec.image_row(iid, seed=42)["bytes"])
+        f = imagecodec.features(px)
+        logit = math.floor(f["thumb_var"] * 16) - abs(math.floor(f["brightness"] * 16) - 2048)
+        r = rows[iid]
+        assert (r["logit"], r["keep"]) == (logit, logit >= AESTH_THRESH)
+        kept += r["keep"]
+    assert 0.3 <= kept / N_IMAGES <= 0.9  # the gate actually separates

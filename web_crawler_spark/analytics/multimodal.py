@@ -1692,6 +1692,52 @@ WHERE substr(md5(a.image_id), 1, 12) <= c.thr_hex
 """
 
 
+# --- image_classify_aesthetic ------------------------------------------------
+# Model-based image curation gate: LAION filters images with a small linear
+# head over learned features (the "aesthetic predictor"). Stand-in with the
+# same plan shape and cost profile: a fixed-weight linear logit over the
+# decoded-feature projection (sharpness reward iv = floor(16*thumb_var),
+# mid-brightness deviation penalty |floor(16*brightness) - 16*128|) with an
+# integer threshold, so the verdict is exact in both engines. Real model =
+# same mapInPandas decode stage emitting an embedding + the same map-only
+# integer head; swapping weights does not change the plan.
+AESTH_THRESH = 1500  # splits the synth corpus ~60/40 keep/drop
+
+
+def image_classify_aesthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image keep/drop verdict from a linear scorer over decoded
+    features. ONE generator pass, ONE decode mapInPandas (the shared
+    decode_validate stage — images are never decoded twice), then a map-only
+    integer projection: no join, no shuffle after the decode stage at any
+    corpus size. The oracle receives the per-image feature doubles as exact
+    VALUES literals and applies the identical floor-quantized head, so
+    parity additionally proves the decoded features crossed Arrow
+    bit-for-bit per image (the rollup queries only pin min/max)."""
+    imgs = _images(spark, sf_dir).withColumn("crawled_caption", F.col("caption"))
+    checked = imgs.mapInPandas(udfs.decode_validate, udfs.VALIDATION_SCHEMA)
+    ib = F.floor(F.col("brightness") * 16).cast("long")
+    iv = F.floor(F.col("thumb_var") * 16).cast("long")
+    return checked.select(
+        "image_id", (iv - F.abs(ib - F.lit(128 * 16))).alias("logit")
+    ).select("image_id", "logit", (F.col("logit") >= AESTH_THRESH).alias("keep"))
+
+
+SQL_IMAGE_CLASSIFY_AESTHETIC = """
+WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok,
+              psnr_db, brightness, thumb_var) AS (
+  VALUES {values}
+),
+{img_sel},
+scored AS (
+  SELECT e.image_id,
+         CAST(floor(CAST(e.thumb_var AS DOUBLE) * 16) AS BIGINT)
+           - abs(CAST(floor(CAST(e.brightness AS DOUBLE) * 16) AS BIGINT) - 2048) AS logit
+  FROM sel JOIN expected e USING (image_id)
+)
+SELECT image_id, logit, logit >= {thresh} AS keep FROM scored
+"""
+
+
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
@@ -1704,6 +1750,7 @@ LOCAL_QUERIES = {
     "image_shard_bytes": image_shard_bytes,
     "vlm_pack": vlm_pack,
     "image_bucket_sample": image_bucket_sample,
+    "image_classify_aesthetic": image_classify_aesthetic,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
@@ -1751,5 +1798,10 @@ LOCAL_ORACLES = {
         img_sel=_img_sel(N_IMAGES),
         ladder=_values(_bucket_ladder()),
         target=SAMPLE_PER_BUCKET,
+    ),
+    "image_classify_aesthetic": SQL_IMAGE_CLASSIFY_AESTHETIC.format(
+        values=_values(_expected_image_metrics()),
+        img_sel=_img_sel(N_IMAGES),
+        thresh=AESTH_THRESH,
     ),
 }
