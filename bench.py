@@ -59,6 +59,12 @@ HEADLINE = [
     "embed_semdedup",
     "corpus_multimodal_pipeline",
     "text_pii_redact",
+    # closing round-3 image-tier additions: byte-level payload dedup,
+    # materialized training shards, VLM sequence packing, classifier gate
+    "image_exact_dedup",
+    "image_shard_bytes",
+    "vlm_pack",
+    "image_classify_aesthetic",
 ]
 
 

@@ -1211,10 +1211,14 @@ def image_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = _images(spark, sf_dir)
     doc = F.regexp_extract("image_id", r"^img-(\d+)", 1).cast("bigint")
+    # checkpoint the TINY (doc_id, n_bytes) projection before the cumsum:
+    # repartitionByRange's sampling pass and every downstream reuse would
+    # otherwise re-run the payload generator (at real scale: re-scan the
+    # payload column for a 16-byte metadata row)
     sized = imgs.select(
         doc.alias("doc_id"),
         (F.length("bytes") + F.octet_length("caption")).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     bins = _pack_bins(sized, cap=SHARD_BYTES)
     return bins.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
@@ -1583,6 +1587,9 @@ def vlm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _images(spark, sf_dir)
     doc = F.regexp_extract("image_id", r"^img-(\d+)", 1).cast("bigint")
     p = VLM_PATCH
+    # tiny metadata projection checkpointed before the cumsum — the range
+    # sampling pass must not re-run the payload generator (see
+    # image_shard_pack)
     sized = imgs.select(
         doc.alias("doc_id"),
         (
@@ -1591,7 +1598,7 @@ def vlm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     bins = _pack_bins(sized, cap=VLM_CTX)
     return bins.select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
@@ -1646,7 +1653,9 @@ def image_bucket_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold compare is on fixed-width lowercase hex strings, bit-identical
     cross-engine; at 100 TB the same integer DIV threshold stays exact (the
     2^48 numerator fits a long for any target < 2^15)."""
-    b = image_res_bucket(spark, sf_dir).select("image_id", "bucket_id")
+    # the (image_id, bucket_id) assignment is consumed twice (count side +
+    # probe side); checkpoint the tiny projection so the generator runs once
+    b = image_res_bucket(spark, sf_dir).select("image_id", "bucket_id").localCheckpoint(eager=True)
     cnt = b.groupBy("bucket_id").agg(F.count("*").alias("n_bucket"))
     thr = F.least(
         F.lit((1 << 48) - 1),
