@@ -119,6 +119,12 @@ AUDITS = {
     # one decode mapInPandas then a map-only integer head — no join, no
     # window, no cartesian (the only Exchange is the generator's repartition)
     "image_classify_aesthetic": (["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
+    # one decode mapInPandas emitting extracted text, then JVM string/token
+    # expressions — map-only end to end, no join/window/cartesian
+    "image_ocr_extract": (["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
+    # one decode + detect + re-encode mapInPandas, JVM crc32 projection —
+    # map-only end to end (image_thumbnail's plan shape)
+    "image_pii_redact": (["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
 }
 
 

@@ -740,3 +740,43 @@ def test_image_classify_aesthetic_verdict(spark):
         assert (r["logit"], r["keep"]) == (logit, logit >= AESTH_THRESH)
         kept += r["keep"]
     assert 0.3 <= kept / N_IMAGES <= 0.9  # the gate actually separates
+
+
+def test_image_ocr_extract_planted(spark):
+    """Every scan with a planted text band extracts it verbatim (band
+    survives encode→Arrow→decode); every 7th scan is textless and reports
+    the miss path; token counts come from the JVM split."""
+    from web_crawler_spark.analytics.multimodal import N_SCANS, SCAN_TEXTLESS_EVERY
+
+    rows = LOCAL_QUERIES["image_ocr_extract"](spark, SF_DIR).collect()
+    assert len(rows) == N_SCANS
+    for r in rows:
+        i = int(r["image_id"][5:])
+        planted = i % SCAN_TEXTLESS_EVERY != 0
+        assert r["has_text"] == planted
+        assert r["matches_caption"] == planted
+        if planted:
+            assert r["extracted"] == f"alt text for scan-{i}"
+            assert r["n_tokens"] == 4
+        else:
+            assert (r["extracted"], r["n_chars"], r["n_tokens"]) == ("", 0, 0)
+
+
+def test_image_pii_redact_planted(spark):
+    """Planted-region counts come back exactly (2/1/0 on the 9/3/rest
+    split), masked areas bound by the planted square sizes, and every row
+    emits a real re-encoded binary (pinned exactly vs the oracle's crc in
+    parity; here length > header)."""
+    from web_crawler_spark.analytics.multimodal import N_PHOTOS, _pii_planted
+
+    rows = LOCAL_QUERIES["image_pii_redact"](spark, SF_DIR).collect()
+    assert len(rows) == N_PHOTOS
+    seen_counts = set()
+    for r in rows:
+        i = int(r["image_id"][4:])
+        n = _pii_planted(i)
+        assert r["n_regions"] == n
+        assert n * 16 <= r["area_px"] <= n * 49
+        assert r["red_len"] > 13  # WCSI header is 13 bytes
+        seen_counts.add(n)
+    assert seen_counts == {0, 1, 2}  # every branch of the split occurs

@@ -206,3 +206,47 @@ def test_image_phash_neardup_finds_planted_pairs(spark):
         pa = imagecodec.image_row(a, seed=42)["phash"]
         pb = imagecodec.variant_row(a, seed=42)["phash"]
         assert bin((pa ^ pb) & ((1 << 64) - 1)).count("1") == ham
+
+
+def test_imagecodec_ocr_plant_extract_roundtrip():
+    import numpy as np
+    import pytest
+
+    from web_crawler_spark.core import imagecodec
+
+    px = imagecodec.reference_pixels("scan-x", 20, 18)
+    planted = imagecodec.plant_text(px, "alt text for scan-x")
+    # survives a lossless encode/decode cycle byte-for-byte
+    rt, _, _, _ = imagecodec.decode(imagecodec.encode(planted, "png"))
+    assert imagecodec.ocr_extract(rt) == "alt text for scan-x"
+    # untouched base pixels: no band, empty extraction
+    assert imagecodec.ocr_extract(px) == ""
+    # only the red channel is written, and only the header+payload prefix
+    assert np.array_equal(planted[:, :, 1:], px[:, :, 1:])
+    # oversized text refuses rather than truncating silently
+    with pytest.raises(ValueError):
+        imagecodec.plant_text(imagecodec.reference_pixels("t", 16, 16), "x" * 300)
+
+
+def test_imagecodec_pii_detect_redact():
+    import numpy as np
+
+    from web_crawler_spark.core import imagecodec
+
+    row = imagecodec.photo_row("pho-t", n_regions=2, seed=42)
+    px, _, _, _ = imagecodec.decode(row["bytes"])
+    mask, n = imagecodec.detect_pii(px)
+    assert n == 2
+    assert 2 * 16 <= int(mask.sum()) <= 2 * 49  # two 4..7-px squares
+    red = imagecodec.redact(px, mask)
+    assert (red[mask] == 0).all()
+    assert np.array_equal(red[~mask], px[~mask])
+    # nothing detectable remains after redaction
+    _, n2 = imagecodec.detect_pii(red)
+    assert n2 == 0
+    # sub-threshold blobs are ignored by count AND mask (min-face-size gate)
+    tiny = imagecodec.plant_region(
+        imagecodec.reference_pixels("pho-clean", 24, 24), 3, 3, 2
+    )
+    m3, n3 = imagecodec.detect_pii(tiny)
+    assert n3 == 0 and int(m3.sum()) == 0

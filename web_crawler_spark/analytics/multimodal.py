@@ -1747,6 +1747,219 @@ SELECT image_id, logit, logit >= {thresh} AS keep FROM scored
 """
 
 
+# --- image_ocr_extract --------------------------------------------------------
+# Image→text extraction: the alt-text-recovery stage of a crawl pipeline (OCR
+# over scanned pages / rendered text), feeding extracted strings into the text
+# tier. Real OCR is not in this container — imagecodec.plant_text/ocr_extract
+# is the clearly-marked stand-in with exact planted ground truth; the Spark
+# plan (binary decode mapInPandas → JVM string/token expressions, map-only, no
+# shuffle at any corpus size) is what swapping in a real model would keep.
+N_SCANS = 150
+SCAN_TEXTLESS_EVERY = 7  # every 7th scan has NO text band (the miss path)
+
+OCR_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("extracted", T.StringType(), True),
+    ]
+)
+
+
+def _scan_text(doc_id: int) -> str | None:
+    if doc_id % SCAN_TEXTLESS_EVERY == 0:
+        return None
+    return f"alt text for scan-{doc_id}"
+
+
+def _scans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'scanned page' images: base pixels + planted text band
+    (imagecodec.scan_row); caption column carries the EXPECTED alt text for
+    every row, so the extraction verdict is a plain column comparison."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_SCANS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                row = imagecodec.scan_row(f"scan-{doc_id}", _scan_text(int(doc_id)), seed=42)
+                row["caption"] = f"alt text for scan-{doc_id}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return ids.repartition(_gen_partitions(spark, N_SCANS), "doc_id").mapInPandas(
+        gen, IMAGES_SCHEMA
+    )
+
+
+def image_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scan extraction verdict: extracted text, char/token counts, and
+    whether it matches the crawled caption. ONE decode pass (map-only
+    mapInPandas over the binary column, no shuffle at any scale); the
+    token/match columns are JVM-side expressions so the text-tier handoff
+    stays in whole-stage codegen. Undecodable inputs yield null→'' (flagged,
+    not fatal — production semantics)."""
+
+    def ocr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data, cap in zip(pdf["image_id"], pdf["bytes"], pdf["caption"]):
+                try:
+                    px, _, _, _ = imagecodec.decode(bytes(data))
+                    txt = imagecodec.ocr_extract(px)
+                except ValueError:
+                    txt = None
+                rows.append((iid, cap, txt))
+            yield pd.DataFrame(rows, columns=[f.name for f in OCR_RAW_SCHEMA.fields])
+
+    out = _scans(spark, sf_dir).mapInPandas(ocr, OCR_RAW_SCHEMA)
+    extracted = F.coalesce(F.col("extracted"), F.lit(""))
+    has_text = extracted != F.lit("")
+    return out.select(
+        "image_id",
+        extracted.alias("extracted"),
+        has_text.alias("has_text"),
+        F.length(extracted).alias("n_chars"),
+        F.when(has_text, F.size(F.split(extracted, " ")))
+        .otherwise(F.lit(0))
+        .alias("n_tokens"),
+        (extracted == F.col("caption")).alias("matches_caption"),
+    )
+
+
+def _expected_scans() -> list[tuple]:
+    """Driver-side (image_id, extracted) ground truth: the same codec path
+    run pure-Python in-process — parity proves the planted band survived
+    encode → Arrow → decode → extract byte-for-byte."""
+    out = []
+    for i in range(N_SCANS):
+        row = imagecodec.scan_row(f"scan-{i}", _scan_text(i), seed=42)
+        px, _, _, _ = imagecodec.decode(row["bytes"])
+        out.append((f"scan-{i}", imagecodec.ocr_extract(px)))
+    return out
+
+
+SQL_IMAGE_OCR_EXTRACT = """
+WITH expected(image_id, extracted) AS (
+  VALUES {values}
+),
+sel AS (SELECT 'scan-' || CAST(doc_id AS VARCHAR) AS image_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_scans}))
+SELECT e.image_id,
+       e.extracted,
+       e.extracted <> '' AS has_text,
+       CAST(length(e.extracted) AS INT) AS n_chars,
+       CAST(CASE WHEN e.extracted = '' THEN 0
+                 ELSE length(e.extracted)
+                      - length(replace(e.extracted, ' ', '')) + 1 END AS INT)
+         AS n_tokens,
+       e.extracted = ('alt text for ' || e.image_id) AS matches_caption
+FROM sel JOIN expected e USING (image_id)
+"""
+
+
+# --- image_pii_redact ---------------------------------------------------------
+# Image-side privacy leg (twin of text_pii_redact): detect planted PII regions
+# (imagecodec.detect_pii — a real face detector would replace only that numpy
+# function), black-box them, re-encode, and pin the emitted binary exactly via
+# JVM crc32 (the image_thumbnail contract). Map-only: no shuffle at any scale.
+N_PHOTOS = 150
+
+PII_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_regions", T.IntegerType(), True),
+        T.StructField("area_px", T.IntegerType(), True),
+        T.StructField("redacted", T.BinaryType(), True),
+    ]
+)
+
+
+def _pii_planted(doc_id: int) -> int:
+    """Planted PII squares per photo: 2 / 1 / 0 on a 9 / 3 / rest split."""
+    if doc_id % 9 == 0:
+        return 2
+    return 1 if doc_id % 3 == 0 else 0
+
+
+def _photos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'photo' images with planted PII regions."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_PHOTOS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                row = imagecodec.photo_row(f"pho-{doc_id}", _pii_planted(int(doc_id)), seed=42)
+                row["caption"] = f"photo {doc_id}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+    return ids.repartition(_gen_partitions(spark, N_PHOTOS), "doc_id").mapInPandas(
+        gen, IMAGES_SCHEMA
+    )
+
+
+def image_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-photo redaction verdict: regions found, pixels masked, and the
+    exact redacted binary pinned via length + crc32. One decode pass, one
+    binary-emitting mapInPandas, JVM-side crc — identical plan shape to
+    image_thumbnail, so the audit asserts map-only with no join/window."""
+
+    def red(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px, _, _, _ = imagecodec.decode(bytes(data))
+                except ValueError:
+                    rows.append((iid, None, None, None))
+                    continue
+                mask, n = imagecodec.detect_pii(px)
+                rows.append(
+                    (iid, n, int(mask.sum()), imagecodec.encode(imagecodec.redact(px, mask), "png"))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PII_RAW_SCHEMA.fields])
+
+    return (
+        _photos(spark, sf_dir)
+        .mapInPandas(red, PII_RAW_SCHEMA)
+        .select(
+            "image_id",
+            "n_regions",
+            "area_px",
+            F.length("redacted").alias("red_len"),
+            F.crc32("redacted").alias("red_crc"),
+        )
+    )
+
+
+def _expected_redactions() -> list[tuple]:
+    """Driver-side redaction ground truth — same codec path pure-Python,
+    crc via zlib (same polynomial as the JVM's java.util.zip.CRC32)."""
+    out = []
+    for i in range(N_PHOTOS):
+        row = imagecodec.photo_row(f"pho-{i}", _pii_planted(i), seed=42)
+        px, _, _, _ = imagecodec.decode(row["bytes"])
+        mask, n = imagecodec.detect_pii(px)
+        rb = imagecodec.encode(imagecodec.redact(px, mask), "png")
+        out.append((f"pho-{i}", n, int(mask.sum()), len(rb), zlib.crc32(rb)))
+    return out
+
+
+SQL_IMAGE_PII_REDACT = """
+WITH expected(image_id, n_regions, area_px, red_len, red_crc) AS (
+  VALUES {values}
+),
+sel AS (SELECT 'pho-' || CAST(doc_id AS VARCHAR) AS image_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_photos}))
+SELECT e.image_id, CAST(e.n_regions AS INT) AS n_regions,
+       CAST(e.area_px AS INT) AS area_px,
+       CAST(e.red_len AS INT) AS red_len, e.red_crc
+FROM sel JOIN expected e USING (image_id)
+"""
+
+
 LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
@@ -1760,6 +1973,8 @@ LOCAL_QUERIES = {
     "vlm_pack": vlm_pack,
     "image_bucket_sample": image_bucket_sample,
     "image_classify_aesthetic": image_classify_aesthetic,
+    "image_ocr_extract": image_ocr_extract,
+    "image_pii_redact": image_pii_redact,
 }
 LOCAL_ORACLES = {
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
@@ -1812,5 +2027,11 @@ LOCAL_ORACLES = {
         values=_values(_expected_image_metrics()),
         img_sel=_img_sel(N_IMAGES),
         thresh=AESTH_THRESH,
+    ),
+    "image_ocr_extract": SQL_IMAGE_OCR_EXTRACT.format(
+        values=_values(_expected_scans()), n_scans=N_SCANS
+    ),
+    "image_pii_redact": SQL_IMAGE_PII_REDACT.format(
+        values=_values(_expected_redactions()), n_photos=N_PHOTOS
     ),
 }

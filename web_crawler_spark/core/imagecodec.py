@@ -166,6 +166,137 @@ def variant_row(image_id: str, seed: int = 42) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# OCR stand-in: planted alt-text band (image→text extraction)
+# ---------------------------------------------------------------------------
+# Real OCR (tesseract/trOCR) is not in this container; the stand-in plants the
+# text VERBATIM into the red channel behind a 2-byte magic + length header, so
+# extraction has exact planted ground truth while the Spark-side plumbing —
+# binary decode, Arrow batching, image→text column flow into the text tier —
+# is real. Swapping in a real OCR model changes only plant_text/ocr_extract.
+_OCR_MAGIC = (0xD7, 0x0C)
+
+
+def plant_text(pixels: np.ndarray, text: str) -> np.ndarray:
+    """Write *text* (≤255 chars, latin-1) row-major into the red channel."""
+    px = pixels.copy()
+    data = [*_OCR_MAGIC, len(text)] + [ord(c) % 256 for c in text]
+    h, w, _ = px.shape
+    if len(data) > h * w:
+        raise ValueError("text does not fit in the image")
+    idx = np.arange(len(data))
+    px[idx // w, idx % w, 0] = data
+    return px
+
+
+def ocr_extract(pixels: np.ndarray) -> str:
+    """Read back a planted text band; '' when no band is present."""
+    red = pixels[:, :, 0].reshape(-1)
+    if red.size < 3 or (int(red[0]), int(red[1])) != _OCR_MAGIC:
+        return ""
+    n = int(red[2])
+    return "".join(chr(int(c)) for c in red[3 : 3 + n])
+
+
+def scan_row(image_id: str, text: str | None, seed: int = 42) -> dict:
+    """Images-table row for a 'scanned page': base reference pixels with
+    *text* planted (or none), always lossless — a lossy encode would corrupt
+    the byte-exact band, as a real scan pipeline would archive masters."""
+    w = 16 + stable_hash64(seed, "iw", image_id) % 49
+    h = 16 + stable_hash64(seed, "ih", image_id) % 49
+    px = reference_pixels(image_id, w, h)
+    if text is not None:
+        px = plant_text(px, text)
+    data = encode(px, "png")
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": "png",
+        "phash": phash64(px),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII-region stand-in: planted constant-value 'faces', detect + redact
+# ---------------------------------------------------------------------------
+PII_VALUE = 250  # planted regions are exact (250,250,250) rectangles
+PII_MIN_AREA = 9  # detector ignores connected blobs smaller than this
+
+
+def plant_region(pixels: np.ndarray, x: int, y: int, s: int) -> np.ndarray:
+    """Fill the s×s square at (row y, col x) with the PII constant."""
+    px = pixels.copy()
+    px[y : y + s, x : x + s, :] = PII_VALUE
+    return px
+
+
+def detect_pii(pixels: np.ndarray) -> tuple[np.ndarray, int]:
+    """(mask of PII pixels, number of connected regions ≥ PII_MIN_AREA).
+
+    4-connected flood fill over the exact-value mask; sub-threshold blobs
+    (chance collisions in the random base pixels) are dropped from BOTH the
+    count and the mask, mirroring a real detector's minimum-face-size gate.
+    """
+    raw = (pixels == PII_VALUE).all(axis=2)
+    keep = np.zeros_like(raw)
+    seen = np.zeros_like(raw)
+    h, w = raw.shape
+    n = 0
+    for i, j in zip(*np.nonzero(raw)):
+        if seen[i, j]:
+            continue
+        stack, cells = [(i, j)], []
+        seen[i, j] = True
+        while stack:
+            a, b = stack.pop()
+            cells.append((a, b))
+            for da, db in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                x2, y2 = a + da, b + db
+                if 0 <= x2 < h and 0 <= y2 < w and raw[x2, y2] and not seen[x2, y2]:
+                    seen[x2, y2] = True
+                    stack.append((x2, y2))
+        if len(cells) >= PII_MIN_AREA:
+            n += 1
+            for a, b in cells:
+                keep[a, b] = True
+    return keep, n
+
+
+def redact(pixels: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Black-box redaction: zero every masked pixel (deterministic stand-in
+    for a blur — swapping in a Gaussian changes only this function)."""
+    px = pixels.copy()
+    px[mask] = 0
+    return px
+
+
+def photo_row(image_id: str, n_regions: int, seed: int = 42) -> dict:
+    """Images-table row for a 'photo' with *n_regions* planted PII squares
+    (≤2), placed in disjoint left/right halves so planted regions never
+    merge. Lossless encode: the lossy quantizer maps 248..251 all to 250,
+    which would spray false-positive PII pixels over the random base."""
+    w = 16 + stable_hash64(seed, "iw", image_id) % 49
+    h = 16 + stable_hash64(seed, "ih", image_id) % 49
+    px = reference_pixels(image_id, w, h)
+    half = w // 2
+    for k in range(n_regions):
+        s = 4 + stable_hash64(seed, "piis", image_id, k) % 4  # 4..7 ≤ half(8)
+        x = k * half + stable_hash64(seed, "piix", image_id, k) % (half - s + 1)
+        y = stable_hash64(seed, "piiy", image_id, k) % (h - s + 1)
+        px = plant_region(px, x, y, s)
+    data = encode(px, "png")
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": "png",
+        "phash": phash64(px),
+    }
+
+
 def image_row(image_id: str, seed: int = 42) -> dict:
     """Deterministic full images-table row for *image_id* (FIXTURES.md §1)."""
     w = 16 + stable_hash64(seed, "iw", image_id) % 49  # 16..64
