@@ -165,3 +165,46 @@ def test_incremental_bloom_equals_batch_build():
             inc.add(chunk)
     assert inc.to_bytes() == batch.to_bytes()
     assert bool(inc.might_contain(keys).all())
+
+
+# printable latin-1 minus the quote-handling edge the SQL literal escaper
+# already covers separately — the band stores ord(c) % 256, so any latin-1
+# char must round-trip; text longer than capacity must refuse, not truncate
+_band_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255), max_size=120
+)
+
+
+@given(
+    _band_text,
+    st.integers(min_value=16, max_value=64),
+    st.integers(min_value=16, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_ocr_band_roundtrip_on_fuzzed_text(text, w, h):
+    px = imagecodec.reference_pixels("fuzz", w, h)
+    if len(text) + 3 > w * h:
+        return  # capacity refusal covered by the unit test
+    planted = imagecodec.plant_text(px, text)
+    rt, _, _, _ = imagecodec.decode(imagecodec.encode(planted, "png"))
+    assert imagecodec.ocr_extract(rt) == text
+    # green/blue channels untouched — the band is red-channel-only
+    assert np.array_equal(planted[:, :, 1:], px[:, :, 1:])
+
+
+@given(
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=150, deadline=None)
+def test_pii_detect_redact_fixpoint(n_regions, i):
+    """detect→redact is a fixpoint: counts match planting, redaction removes
+    every detectable region, and re-running detect finds nothing."""
+    row = imagecodec.photo_row(f"pho-fz-{i}", n_regions=n_regions, seed=42)
+    px, _, _, _ = imagecodec.decode(row["bytes"])
+    mask, n = imagecodec.detect_pii(px)
+    assert n == n_regions
+    assert n_regions * 16 <= int(mask.sum()) <= n_regions * 49
+    red = imagecodec.redact(px, mask)
+    m2, n2 = imagecodec.detect_pii(red)
+    assert n2 == 0 and int(m2.sum()) == 0

@@ -274,16 +274,18 @@ def redact(pixels: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 def photo_row(image_id: str, n_regions: int, seed: int = 42) -> dict:
     """Images-table row for a 'photo' with *n_regions* planted PII squares
-    (≤2), placed in disjoint left/right halves so planted regions never
-    merge. Lossless encode: the lossy quantizer maps 248..251 all to 250,
-    which would spray false-positive PII pixels over the random base."""
+    (≤2), placed in disjoint left/right halves with at least one empty
+    column before each half boundary so planted regions can never touch and
+    4-connect into one (found by the hypothesis fixpoint fuzz). Lossless
+    encode: the lossy quantizer maps 248..251 all to 250, which would spray
+    false-positive PII pixels over the random base."""
     w = 16 + stable_hash64(seed, "iw", image_id) % 49
     h = 16 + stable_hash64(seed, "ih", image_id) % 49
     px = reference_pixels(image_id, w, h)
     half = w // 2
     for k in range(n_regions):
-        s = 4 + stable_hash64(seed, "piis", image_id, k) % 4  # 4..7 ≤ half(8)
-        x = k * half + stable_hash64(seed, "piix", image_id, k) % (half - s + 1)
+        s = 4 + stable_hash64(seed, "piis", image_id, k) % 4  # 4..7 ≤ half-1 (7)
+        x = k * half + stable_hash64(seed, "piix", image_id, k) % (half - s)
         y = stable_hash64(seed, "piiy", image_id, k) % (h - s + 1)
         px = plant_region(px, x, y, s)
     data = encode(px, "png")
