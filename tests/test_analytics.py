@@ -780,3 +780,44 @@ def test_image_pii_redact_planted(spark):
         assert r["red_len"] > 13  # WCSI header is 13 bytes
         seen_counts.add(n)
     assert seen_counts == {0, 1, 2}  # every branch of the split occurs
+
+
+def test_span_dedup_matches_pure_python_oracle(spark):
+    """Full independent re-derivation: exact gram TUPLES (no hashing) +
+    interval merge in plain Python must reproduce every per-doc span count,
+    duplicated-token count and verdict (a hash collision in the Spark plan
+    would break this — mod 1e9+7 over ~25k grams makes that ~1e-5 and the
+    inputs are deterministic)."""
+    import collections
+    import re
+
+    from web_crawler_spark.analytics.dedup import SPAN_DUP_RATIO_T, SPAN_G
+
+    span = {r["doc_id"]: r for r in LOCAL_QUERIES["span_dedup"](spark, SF_DIR).collect()}
+    texts = duckdb.sql(f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'").fetchall()
+    gram_docs = collections.defaultdict(set)
+    doc_grams = {}
+    for did, t in texts:
+        ws = re.split(r"\s+", t.strip().lower())
+        gs = [tuple(ws[i : i + SPAN_G]) for i in range(len(ws) - SPAN_G + 1)]
+        doc_grams[did] = (len(ws), gs)
+        for g in gs:
+            gram_docs[g].add(did)
+    n_flagged = 0
+    for did, (n_words, gs) in doc_grams.items():
+        merged = []  # interval merge of duplicated gram spans
+        for i, g in enumerate(gs):
+            if len(gram_docs[g]) >= 2:
+                s, e = i + 1, i + SPAN_G
+                if merged and s <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+        dup_tokens = sum(e - s + 1 for s, e in merged)
+        r = span[did]
+        assert r["n_words"] == n_words
+        assert r["n_spans"] == len(merged), (did, merged, r)
+        assert r["dup_tokens"] == dup_tokens
+        assert r["keep"] == (dup_tokens / n_words <= SPAN_DUP_RATIO_T)
+        n_flagged += bool(merged)
+    assert n_flagged >= 10  # the generator's near-dups share real passages

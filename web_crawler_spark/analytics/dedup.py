@@ -24,7 +24,7 @@ touches candidate pairs. Simhash block join is 4 rows/doc, uniformly hashed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .common import table
@@ -706,6 +706,172 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# exact-substring span dedup: cross-document duplicated passages
+# ---------------------------------------------------------------------------
+#
+# The tier the shingle/minhash/simhash family can't express: a document may
+# be globally unique yet contain a long passage copied verbatim from another
+# document (boilerplate, licenses, quoted articles). Suffix-array substring
+# dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") finds those passages exactly; a distributed approximation replaces
+# the suffix array with fixed-length G-token rolling gram hashes: a G-gram
+# appearing in >= 2 distinct documents marks its G-token span as duplicated,
+# and overlapping/adjacent marked spans merge per document (gaps-and-islands)
+# into maximal duplicated passages. Any duplicated passage of length >= G is
+# found in full; passages shorter than G are missed by construction (the
+# usual Lee-et-al. threshold is 50 tokens — G is the knob).
+#
+# Scale shape (the 100 TB path): explode is O(total tokens); the gram
+# GROUP BY shuffles 8-byte hashed keys with map-side partial aggregation;
+# the semi-join back restricts to duplicated grams only; the interval merge
+# shuffles (doc_id)-partitioned span rows through one window — no driver
+# collect, no quadratic stage anywhere (unlike the pair-emitting tiers, the
+# output here is per-document, so a boilerplate gram shared by 10^6 docs
+# costs 10^6 span rows, not 10^12 pairs).
+
+SPAN_G = 8            # gram length in tokens = minimum detectable passage
+SPAN_DUP_RATIO_T = 0.5  # keep iff <= this fraction of tokens is duplicated
+_SPAN_P = 1000000007
+# per-position coefficients (distinct primes): word hashes are < 2^32, so
+# each term < 2^32·53 and the 8-term sum < 2^42 — no int64 overflow in
+# either engine before the mod
+_SPAN_COEF = [53, 47, 43, 41, 37, 31, 29, 23]
+
+# Spark arrays index 0-based with [], 1-based with element_at; the transform
+# variable i is the 1-based gram start, so term j reads w-hash [i-1+j]
+_SPAN_GH = (
+    "("
+    + " + ".join(f"hs[i - 1 + {j}] * {c}" for j, c in enumerate(_SPAN_COEF))
+    + f") % {_SPAN_P}"
+)
+_SPAN_WHASH = (
+    f"transform({_WORDS}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+)
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-passage verdict: which spans of >= SPAN_G
+    consecutive tokens also appear verbatim in ANOTHER document, how many
+    tokens they cover once overlaps merge, and the keep/drop decision at
+    SPAN_DUP_RATIO_T.
+
+    Reference analogue: the reference crawler stores full page text with no
+    passage-level dedup (Crawler/crawler.py stores content verbatim); this is
+    the corpus-hygiene stage a training pipeline adds on top.
+    """
+    d = table(spark, sf_dir, "documents")
+    # one row per G-gram with its 1-based start position
+    grams = (
+        d.select("doc_id", F.expr(_SPAN_WHASH).alias("hs"))
+        .filter(F.size("hs") >= SPAN_G)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {SPAN_G - 1}), "
+                    f"i -> struct(i as pos, {_SPAN_GH} as gh))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    # grams duplicated ACROSS documents (partial-agg'd count-distinct shuffle)
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    spans = grams.join(dup_gh, "gh", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + (SPAN_G - 1)).alias("e")
+    )
+    # gaps-and-islands: a span starts a new island iff it begins past the
+    # running max end + 1 (adjacent spans merge — same contiguous passage)
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.withColumn(
+        "flag",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e + 1), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("flag").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"), F.max("e").alias("span_end")
+    )
+    perdoc = merged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    base = d.select("doc_id", F.expr(f"size({_WORDS})").alias("n_words"))
+    ratio = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double") / F.col("n_words")
+    return base.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias("dup_tokens"),
+        ratio.alias("dup_ratio"),
+        (ratio <= SPAN_DUP_RATIO_T).alias("keep"),
+    )
+
+
+_SQL_SPAN_GH = (
+    "("
+    + " + ".join(f"hs[i + {j}] * {c}" for j, c in enumerate(_SPAN_COEF))
+    + f") % {_SPAN_P}"
+)
+
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) FOR w IN {SQL_WORDS}] AS hs
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(hs) - {SPAN_G - 1})) AS pos,
+         unnest([{_SQL_SPAN_GH}
+                 FOR i IN generate_series(1, len(hs) - {SPAN_G - 1})]) AS gh
+  FROM toks WHERE len(hs) >= {SPAN_G}
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+spans AS (
+  SELECT g.doc_id, g.pos, g.pos + {SPAN_G - 1} AS e FROM grams g JOIN dup USING (gh)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS flag
+  FROM spans
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+merged AS (
+  SELECT doc_id, island, min(pos) AS span_start, max(e) AS span_end
+  FROM isl2 GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+  FROM merged GROUP BY doc_id
+),
+base AS (SELECT doc_id, len({SQL_WORDS}) AS n_words FROM documents)
+SELECT b.doc_id, b.n_words,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / b.n_words AS dup_ratio,
+       (CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / b.n_words) <= {SPAN_DUP_RATIO_T} AS keep
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_decontaminate": corpus_decontaminate,
@@ -724,4 +890,14 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "text_fingerprint": _sql_text_fingerprint_sig(),
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+}
+
+# local tier: oracle-paired and pytest/check_parity-verified, kept off the
+# driver registry for its 8 KiB CORRECTNESS budget (see analytics/__init__.py)
+LOCAL_QUERIES = {
+    "span_dedup": span_dedup,
+}
+
+LOCAL_ORACLES = {
+    "span_dedup": SQL_SPAN_DEDUP,
 }
