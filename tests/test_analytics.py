@@ -821,3 +821,40 @@ def test_span_dedup_matches_pure_python_oracle(spark):
         assert r["keep"] == (dup_tokens / n_words <= SPAN_DUP_RATIO_T)
         n_flagged += bool(merged)
     assert n_flagged >= 10  # the generator's near-dups share real passages
+
+
+def test_text_lm_score_matches_pure_python_oracle(spark):
+    """Independent re-derivation with raw string bigrams (no hashing): the
+    integer fixed-point q-sums and verdicts must reproduce exactly."""
+    import collections
+    import re
+
+    from web_crawler_spark.analytics.text import LM_Q, LM_SCORE_T
+
+    got = {r["doc_id"]: r for r in LOCAL_QUERIES["text_lm_score"](spark, SF_DIR).collect()}
+    texts = duckdb.sql(f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'").fetchall()
+    c2 = collections.Counter()
+    c1 = collections.Counter()
+    vocab = set()
+    doc_bgs = {}
+    for did, t in texts:
+        ws = re.split(r"\s+", t.strip().lower())
+        vocab.update(ws)
+        bgs = list(zip(ws, ws[1:]))
+        doc_bgs[did] = bgs
+        for bg in bgs:
+            c2[bg] += 1
+            c1[bg[0]] += 1
+    v = len(vocab)
+    for did, bgs in doc_bgs.items():
+        sum_q = sum(LM_Q * (c2[bg] + 1) // (c1[bg[0]] + v) for bg in bgs)
+        r = got[did]
+        assert r["n_bigrams"] == len(bgs)
+        assert r["sum_q"] == sum_q, (did, r["sum_q"], sum_q)
+        if bgs:
+            score = sum_q / (len(bgs) * LM_Q)
+            assert abs(r["lm_score"] - score) < 1e-15
+            assert r["keep"] == (score >= LM_SCORE_T)
+    # the verdict separates: some docs keep, scores span a real range
+    scores = [r["lm_score"] for r in got.values() if r["lm_score"] is not None]
+    assert max(scores) > min(scores) > 0

@@ -739,6 +739,123 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# n-gram language-model score: CCNet-style typicality signal
+# ---------------------------------------------------------------------------
+#
+# CCNet ranks CommonCrawl documents by a 5-gram KenLM perplexity; the
+# distributed self-trained analogue: train a bigram LM over the corpus
+# itself (add-one smoothing) and score each document by its mean in-model
+# bigram probability. Atypical token sequences — mojibake, boilerplate,
+# wrong-language fragments, keyword stuffing — score low; text whose
+# transitions the corpus has seen often scores high.
+#
+# Determinism: probabilities are held in integer fixed-point the whole way —
+# q = (1e9·(c2+1)) // (c1+V) is exact BIGINT arithmetic in both engines, the
+# per-doc sum is an integer sum (associative-exact), and only the final mean
+# is ONE double division. No log(), no float accumulation, no ULP drift
+# (the round-2 lesson behind _QSCALE in similarity.py). 1e9·(c2+1) needs
+# c2 < 9.2e9 before int64 overflow — at larger corpus scale switch the
+# quantizer to (1e6·(c2+1)) // ((c1+V) // 1000) or hash-bucket the counts.
+#
+# Scale shape: two partial-agg'd count shuffles (bigram key, prefix key),
+# two hash-joins keyed on 60-bit/32-bit integer hashes — the count tables
+# scale with corpus vocabulary, so they are deliberately NOT broadcast
+# (the tfidf_topterms lesson); AQE may still broadcast them when small.
+
+LM_Q = 1_000_000_000  # fixed-point scale for smoothed bigram probabilities
+LM_SCORE_T = 0.0005   # keep iff mean in-model probability >= this
+
+# bigram string per position (1-based i), and its 60-bit md5 key; the prefix
+# key is the 32-bit md5 word hash already used by the fingerprint family
+_BIGRAMS = (
+    f"CASE WHEN size({_WORDS}) >= 2 THEN "
+    f"transform(sequence(1, size({_WORDS}) - 1), "
+    f"i -> concat_ws(' ', element_at({_WORDS}, i), element_at({_WORDS}, i + 1))) "
+    "ELSE array() END"
+)
+_BG_HASH = "cast(conv(substring(md5(bg), 1, 15), 16, 10) as bigint)"
+_W1_HASH = (
+    "cast(conv(substring(md5(split(bg, ' ')[0]), 1, 8), 16, 10) as bigint)"
+)
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean smoothed bigram probability under a LM trained on
+    the corpus itself, as integer fixed-point: q = (LM_Q·(c2+1)) // (c1+V)
+    per bigram occurrence, summed exactly, one double division at the end.
+
+    Columns: doc_id, n_bigrams, sum_q (exact), lm_score (mean probability),
+    keep (lm_score >= LM_SCORE_T; docs with <2 words keep=false).
+    """
+    d = table(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg")).select(
+        "doc_id", F.expr(_BG_HASH).alias("bg_h"), F.expr(_W1_HASH).alias("w1_h")
+    )
+    c2 = occ.groupBy("bg_h").agg(F.count("*").alias("c2"))
+    c1 = occ.groupBy("w1_h").agg(F.count("*").alias("c1"))
+    # vocabulary size: distinct words across the corpus (1-row broadcast)
+    vocab = (
+        d.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    q = F.expr(f"cast({LM_Q} as bigint) * (c2 + 1) div (c1 + v)")
+    perdoc = (
+        occ.join(c2, "bg_h")
+        .join(c1, "w1_h")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(q).alias("sum_q"))
+    )
+    base = d.select("doc_id")
+    score = F.col("sum_q").cast("double") / (
+        F.col("n_bigrams").cast("double") * float(LM_Q)
+    )
+    return base.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("bigint")).alias("n_bigrams"),
+        F.coalesce(F.col("sum_q"), F.lit(0).cast("bigint")).alias("sum_q"),
+        score.alias("lm_score"),
+        F.coalesce(score >= LM_SCORE_T, F.lit(False)).alias("keep"),
+    )
+
+
+SQL_TEXT_LM_SCORE = f"""
+WITH occ AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bg_h,
+         CAST('0x' || substr(md5(string_split(bg, ' ')[1]), 1, 8) AS BIGINT) AS w1_h
+  FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN len({SQL_WORDS}) >= 2 THEN
+        [({SQL_WORDS})[i] || ' ' || ({SQL_WORDS})[i + 1]
+         FOR i IN generate_series(1, len({SQL_WORDS}) - 1)]
+      ELSE [] END) AS bg
+    FROM documents
+  )
+),
+c2 AS (SELECT bg_h, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY bg_h),
+c1 AS (SELECT w1_h, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY w1_h),
+vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+  FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST({LM_Q} AS BIGINT) * (c2 + 1) // (c1 + v)) AS BIGINT) AS sum_q
+  FROM occ JOIN c2 USING (bg_h) JOIN c1 USING (w1_h) CROSS JOIN vocab
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.sum_q, 0) AS sum_q,
+       CAST(p.sum_q AS DOUBLE) / (CAST(p.n_bigrams AS DOUBLE) * {float(LM_Q)}) AS lm_score,
+       COALESCE(CAST(p.sum_q AS DOUBLE) / (CAST(p.n_bigrams AS DOUBLE) * {float(LM_Q)})
+                >= {LM_SCORE_T}, false) AS keep
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -760,9 +877,11 @@ LOCAL_QUERIES = {
     "corpus_pipeline_full": corpus_pipeline_full,
     "text_pii_redact": text_pii_redact,
     "text_classify_quality": text_classify_quality,
+    "text_lm_score": text_lm_score,
 }
 
 LOCAL_ORACLES = {
+    "text_lm_score": SQL_TEXT_LM_SCORE,
     "text_repetition": SQL_TEXT_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
     "domain_resample": SQL_DOMAIN_RESAMPLE,
