@@ -858,3 +858,32 @@ def test_text_lm_score_matches_pure_python_oracle(spark):
     # the verdict separates: some docs keep, scores span a real range
     scores = [r["lm_score"] for r in got.values() if r["lm_score"] is not None]
     assert max(scores) > min(scores) > 0
+
+
+def test_caption_hard_negatives_excludes_positives(spark):
+    """Mining invariants: exactly HN_K negatives per ANN query, sims
+    non-increasing with rank, and the pair's CLAIMED positive ref (shifted
+    for planted miscaptions) never leaks in as a negative."""
+    import collections
+
+    from web_crawler_spark.analytics.multimodal import (
+        HN_K,
+        MISCAP_SHIFT,
+        N_IMAGES,
+        N_MISCAP,
+    )
+    from web_crawler_spark.analytics.similarity import N_QUERIES
+
+    rows = LOCAL_QUERIES["caption_hard_negatives"](spark, SF_DIR).collect()
+    per_img = collections.defaultdict(list)
+    for r in rows:
+        per_img[r["image_id"]].append(r)
+    assert len(per_img) == N_QUERIES
+    for image_id, rs in per_img.items():
+        q = int(image_id[4:])
+        claimed = (q + MISCAP_SHIFT) % N_IMAGES if q % N_MISCAP == 0 else q
+        rs.sort(key=lambda r: r["hn_rank"])
+        assert [r["hn_rank"] for r in rs] == list(range(1, HN_K + 1))
+        assert all(r["neg_ref"] != claimed and r["neg_ref"] != q for r in rs)
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)

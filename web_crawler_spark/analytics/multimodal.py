@@ -36,7 +36,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -490,6 +490,76 @@ def image_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("align_sim") >= ALIGN_T).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# contrastive hard-negative mining over the ANN index
+# ---------------------------------------------------------------------------
+#
+# CLIP-style contrastive training wants, for each image, the captions that
+# are MOST similar without being matches — in-batch random negatives are too
+# easy once the model trains past the basics. At corpus scale the candidate
+# generator has to be the ANN index, not a similarity self-join: this op
+# composes on embed_ivf_ann (trained coarse quantizer, nprobe cells,
+# exact re-rank — see similarity.py) and then only filters and re-ranks its
+# bounded TOP_K-per-query output: the window below partitions by query over
+# <= TOP_K rows, so the mining stage adds no wide exchange of its own.
+#
+# The claimed positive (the pair's ref, which for planted miscaptions is NOT
+# the image's own id) is excluded — a retrieved true match is a false
+# negative, the classic mining bug — and self always is (the ANN join
+# already drops self-pairs).
+
+HN_K = 3  # hard negatives mined per image
+
+
+def caption_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-HN_K hardest negative caption refs per image query: nearest ANN
+    neighbors of the image's vector, minus the pair's claimed positive.
+
+    Columns: image_id, neg_ref (candidate caption's payload id), hn_rank,
+    sim (exact re-ranked cosine from the ANN stage, rounded 6)."""
+    from .similarity import embed_ivf_ann
+
+    ann = embed_ivf_ann(spark, sf_dir)  # query_id, neighbor_id, rank, sim
+    q = F.col("query_id")
+    claimed_ref = F.when(
+        q % N_MISCAP == 0, (q + MISCAP_SHIFT) % N_IMAGES
+    ).otherwise(q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        ann.filter(F.col("neighbor_id") != claimed_ref)
+        .withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= HN_K)
+        .select(
+            F.concat(F.lit("img-"), q.cast("string")).alias("image_id"),
+            F.col("neighbor_id").alias("neg_ref"),
+            "hn_rank",
+            "sim",
+        )
+    )
+
+
+def _sql_caption_hard_negatives() -> str:
+    from .similarity import SQL_EMBED_IVF_ANN
+
+    return f"""
+WITH ann AS ({SQL_EMBED_IVF_ANN}),
+negs AS (
+  SELECT query_id, neighbor_id, sim
+  FROM ann
+  WHERE neighbor_id != CASE WHEN query_id % {N_MISCAP} = 0
+                            THEN (query_id + {MISCAP_SHIFT}) % {N_IMAGES}
+                            ELSE query_id END
+)
+SELECT 'img-' || CAST(query_id AS VARCHAR) AS image_id,
+       neighbor_id AS neg_ref, hn_rank, sim
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS hn_rank
+  FROM negs
+) WHERE hn_rank <= {HN_K}
+"""
 
 
 THUMB_SCHEMA = T.StructType(
@@ -1975,8 +2045,10 @@ LOCAL_QUERIES = {
     "image_classify_aesthetic": image_classify_aesthetic,
     "image_ocr_extract": image_ocr_extract,
     "image_pii_redact": image_pii_redact,
+    "caption_hard_negatives": caption_hard_negatives,
 }
 LOCAL_ORACLES = {
+    "caption_hard_negatives": _sql_caption_hard_negatives(),
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
         caption_status=_SQL_CAPTION_STATUS,
         align=_sql_caption_align().replace("\n", " "),
