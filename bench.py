@@ -65,6 +65,11 @@ HEADLINE = [
     "image_shard_bytes",
     "vlm_pack",
     "image_classify_aesthetic",
+    # final round-3 additions: exact-substring passage dedup, bigram-LM
+    # quality scoring, ANN-backed contrastive negative mining
+    "span_dedup",
+    "text_lm_score",
+    "caption_hard_negatives",
 ]
 
 

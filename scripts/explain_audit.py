@@ -125,6 +125,15 @@ AUDITS = {
     # one decode + detect + re-encode mapInPandas, JVM crc32 projection —
     # map-only end to end (image_thumbnail's plan shape)
     "image_pii_redact": (["MapInPandas"], ["Join", "Window", "CartesianProduct"]),
+    # gram explode -> partial-agg'd count shuffle -> semi-join back -> per-doc
+    # window: equi-joins and doc-partitioned windows only, all JVM-side
+    "span_dedup": (["Window"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # bigram/prefix count tables shuffle-join (deliberately un-hinted: they
+    # scale with vocabulary); only the 1-row vocab agg broadcasts
+    "text_lm_score": (["BroadcastNestedLoopJoin"], ["CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # mining composes on the IVF plan (matmul assignment, cell equi-join);
+    # the added window partitions per query over <= TOP_K rows
+    "caption_hard_negatives": (["MapInPandas", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
 }
 
 

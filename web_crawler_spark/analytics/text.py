@@ -766,17 +766,19 @@ FROM scored
 LM_Q = 1_000_000_000  # fixed-point scale for smoothed bigram probabilities
 LM_SCORE_T = 0.0005   # keep iff mean in-model probability >= this
 
-# bigram string per position (1-based i), and its 60-bit md5 key; the prefix
-# key is the 32-bit md5 word hash already used by the fingerprint family
-_BIGRAMS = (
-    f"CASE WHEN size({_WORDS}) >= 2 THEN "
-    f"transform(sequence(1, size({_WORDS}) - 1), "
-    f"i -> concat_ws(' ', element_at({_WORDS}, i), element_at({_WORDS}, i + 1))) "
-    "ELSE array() END"
+# bigram occurrences as PAIRS of 32-bit md5 word hashes (the fingerprint
+# family's word hash): one md5 per word — never per bigram string — and the
+# bigram key is the two-column pair itself, so there is no combined-hash
+# collision and no string concat/digest in the hot explode (a first cut
+# md5'd a concatenated string per occurrence ×3 consumer re-evaluations:
+# 26.3 s at sf0.1; this form runs the same suite slot in ~2 s)
+_WHASHES = (
+    f"transform({_WORDS}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
 )
-_BG_HASH = "cast(conv(substring(md5(bg), 1, 15), 16, 10) as bigint)"
-_W1_HASH = (
-    "cast(conv(substring(md5(split(bg, ' ')[0]), 1, 8), 16, 10) as bigint)"
+_BIGRAM_PAIRS = (
+    "CASE WHEN size(hs) >= 2 THEN "
+    "transform(sequence(1, size(hs) - 1), i -> struct(hs[i - 1] as w1_h, hs[i] as w2_h)) "
+    "ELSE array() END"
 )
 
 
@@ -789,10 +791,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep (lm_score >= LM_SCORE_T; docs with <2 words keep=false).
     """
     d = table(spark, sf_dir, "documents")
-    occ = d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg")).select(
-        "doc_id", F.expr(_BG_HASH).alias("bg_h"), F.expr(_W1_HASH).alias("w1_h")
+    occ = (
+        d.select("doc_id", F.expr(_WHASHES).alias("hs"))
+        .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS)).alias("g"))
+        .select("doc_id", F.col("g.w1_h").alias("w1_h"), F.col("g.w2_h").alias("w2_h"))
     )
-    c2 = occ.groupBy("bg_h").agg(F.count("*").alias("c2"))
+    c2 = occ.groupBy("w1_h", "w2_h").agg(F.count("*").alias("c2"))
     c1 = occ.groupBy("w1_h").agg(F.count("*").alias("c1"))
     # vocabulary size: distinct words across the corpus (1-row broadcast)
     vocab = (
@@ -801,7 +805,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.expr(f"cast({LM_Q} as bigint) * (c2 + 1) div (c1 + v)")
     perdoc = (
-        occ.join(c2, "bg_h")
+        occ.join(c2, ["w1_h", "w2_h"])
         .join(c1, "w1_h")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
@@ -821,20 +825,18 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEXT_LM_SCORE = f"""
-WITH occ AS (
+WITH toks AS (
   SELECT doc_id,
-         CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT) AS bg_h,
-         CAST('0x' || substr(md5(string_split(bg, ' ')[1]), 1, 8) AS BIGINT) AS w1_h
-  FROM (
-    SELECT doc_id, unnest(
-      CASE WHEN len({SQL_WORDS}) >= 2 THEN
-        [({SQL_WORDS})[i] || ' ' || ({SQL_WORDS})[i + 1]
-         FOR i IN generate_series(1, len({SQL_WORDS}) - 1)]
-      ELSE [] END) AS bg
-    FROM documents
-  )
+         [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) FOR w IN {SQL_WORDS}] AS hs
+  FROM documents
 ),
-c2 AS (SELECT bg_h, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY bg_h),
+occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(hs) >= 2 THEN hs[1:len(hs) - 1] ELSE [] END) AS w1_h,
+         unnest(CASE WHEN len(hs) >= 2 THEN hs[2:len(hs)] ELSE [] END) AS w2_h
+  FROM toks
+),
+c2 AS (SELECT w1_h, w2_h, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY w1_h, w2_h),
 c1 AS (SELECT w1_h, CAST(count(*) AS BIGINT) AS c1 FROM occ GROUP BY w1_h),
 vocab AS (
   SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
@@ -843,7 +845,7 @@ vocab AS (
 perdoc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          CAST(SUM(CAST({LM_Q} AS BIGINT) * (c2 + 1) // (c1 + v)) AS BIGINT) AS sum_q
-  FROM occ JOIN c2 USING (bg_h) JOIN c1 USING (w1_h) CROSS JOIN vocab
+  FROM occ JOIN c2 USING (w1_h, w2_h) JOIN c1 USING (w1_h) CROSS JOIN vocab
   GROUP BY doc_id
 )
 SELECT d.doc_id,
