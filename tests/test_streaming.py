@@ -453,3 +453,43 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     assert got == batch
     n_hits = sum(1 for _, c in got.values() if c)
     assert 0 < n_hits < len(got)  # the benchmark split is actually probed
+
+
+def test_stream_spans_matches_batch_and_span_dedup(spark, tmp_path):
+    """Ingest-time duplicated-passage probe: the complete-mode verdict over
+    a static source equals its batch twin row-for-row AND — because the
+    index is built from the same documents table and the streamed docs ARE
+    that corpus (cross-document self-match rule applies) — equals
+    span_dedup's window-plan verdicts doc-for-doc, proving the streaming
+    fold formulation of the interval merge against the batch
+    gaps-and-islands window."""
+    from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.streaming import stream_spans
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = tmp_path / "doc_stream"
+    docs.write.parquet(str(src))
+
+    index = stream_spans.build_index(spark, docs).cache()
+
+    q = stream_spans.run_to_memory(
+        stream_spans.spans_stream(spark, str(src), index), name="spans_t"
+    )
+    def key(r):
+        return (r["n_words"], r["n_spans"], r["dup_tokens"], r["dup_ratio"], r["keep"])
+    try:
+        got = {r["doc_id"]: key(r) for r in spark.table("spans_t").collect()}
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: key(r)
+        for r in stream_spans.spans_batch(spark, str(src), index).collect()
+    }
+    assert got == want and len(got) == docs.count()
+
+    # cross-check the fold plan against span_dedup's window plan
+    batch = {r["doc_id"]: key(r) for r in LOCAL_QUERIES["span_dedup"](spark, sf_dir).collect()}
+    assert got == batch
+    n_dup = sum(1 for _, _, dt, _, _ in got.values() if dt > 0)
+    assert 0 < n_dup < len(got)  # real duplicated passages, not all/none
