@@ -6,11 +6,11 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 plus the
   training-data-pipeline operators (dedup / similarity / text / multimodal)
   and the crawl engine itself.
-- ``oracle_sql()``: DuckDB oracles for every entry except the iterative
-  crawl engine (`crawl_bfs`, golden-tested against the pure-Python
-  simulator instead). The binary-payload (multimodal) ops are oracle-paired
-  too: their deterministic codecs let the expected per-payload metrics be
-  precomputed driver-side and inlined as VALUES tables.
+- ``oracle_sql()``: DuckDB oracles for EVERY entry. The iterative crawl
+  engine (`crawl_bfs`) and the binary-payload (multimodal) ops are
+  oracle-paired through deterministic VALUES tables: the pure-Python
+  reference simulator (resp. the deterministic codecs) lets the expected
+  rows be precomputed driver-side and inlined.
 """
 
 from __future__ import annotations
@@ -32,20 +32,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS file is a hard 8192-byte JSON budget (r02 held
-# exactly 50 of 54 entries, cut in registry order). The registry is now 48
+# exactly 50 of 54 entries, cut in registry order). The registry is 48
 # entries (redundant twins merged or demoted to the locally-verified
 # LOCAL_QUERIES tier — see module notes), projecting to ~7.9 KB with ~300 B
-# of margin so no row can be truncated again. This
-# explicit order puts the entries with the least prior driver evidence first:
-# the two r02 hash-fails (oracle HUGEINT typing, fixed) and the four entries
-# r02 truncated away, then the merged/renamed entries whose names are new.
+# of margin (scripts/registry_budget.py) so no row can be truncated again.
+# This explicit order puts the entries with the least prior driver evidence
+# first: crawl_bfs (first round with a VALUES oracle — r03 was rows-only) and
+# the two round-4 promotions from the local tier, then the entries the r02
+# truncation bug once hid.
 _FIRST = (
+    "crawl_bfs",
+    "corpus_pipeline_full",
+    "embed_semdedup",
     "doc_pack",
     "corpus_pipeline",
     "multimodal_video",
     "image_phash_neardup",
     "image_decontaminate",
-    "crawl_bfs",
     "events_profile",
     "text_quality",
     "text_fingerprint",

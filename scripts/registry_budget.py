@@ -28,7 +28,8 @@ CAP = 8192
 # are projected at a conservative 5-digit count
 KNOWN_ROWS = {
     "doc_pack": 500, "corpus_pipeline": 18, "multimodal_video": 3,
-    "image_phash_neardup": 50, "image_decontaminate": 10, "crawl_bfs": 257,
+    "image_phash_neardup": 50, "image_decontaminate": 10, "crawl_bfs": 22,
+    "corpus_pipeline_full": 500, "embed_semdedup": 500,
     "events_profile": 5, "text_quality": 500, "text_fingerprint": 500,
     "multimodal_image": 3, "frontier_schedule": 450, "seen_antijoin": 257,
     "enrich_join": 4979, "pages_per_job": 1500, "links_per_page": 14743,

@@ -778,13 +778,11 @@ QUERIES = {
     "links_per_page": links_per_page,
     "export_stats": export_stats,
     "status_breakdown": status_breakdown,
-    "topk_recent": topk_recent,
     "linkgraph_sort": linkgraph_sort,
     "admission_cap": admission_cap,
     "first_occurrence": first_occurrence,
     "content_stats": content_stats,
     "scalar_funcs": scalar_funcs,
-    "json_extract": json_extract,
     "pricing_summary": pricing_summary,
     "ship_priority": ship_priority,
     "region_volume": region_volume,
@@ -801,8 +799,22 @@ QUERIES = {
 # beyond-reference warehouse extra whose aggregation machinery is already
 # driver-evidenced (status_breakdown, pages_per_job, events_profile); the
 # demotion buys the 8 KiB driver CORRECTNESS file margin against truncation.
-LOCAL_QUERIES = {"status_rollup": status_rollup}
-LOCAL_ORACLES = {"status_rollup": SQL_STATUS_ROLLUP}
+# json_extract joined it in round 4: its get_json_object/json_tuple capability
+# (SC json scalars) is also driver-evidenced through scalar_funcs +
+# content_stats, and the slot funds promoting corpus_pipeline_full +
+# embed_semdedup into the driver tier. topk_recent likewise: ordered top-k
+# (O1-O8) stays driver-evidenced by linkgraph_sort (multi-key sort+limit) and
+# admission_cap (rank cap).
+LOCAL_QUERIES = {
+    "status_rollup": status_rollup,
+    "json_extract": json_extract,
+    "topk_recent": topk_recent,
+}
+LOCAL_ORACLES = {
+    "status_rollup": SQL_STATUS_ROLLUP,
+    "json_extract": SQL_JSON_EXTRACT,
+    "topk_recent": SQL_TOPK_RECENT,
+}
 
 ORACLES = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
@@ -814,13 +826,11 @@ ORACLES = {
     "links_per_page": SQL_LINKS_PER_PAGE,
     "export_stats": SQL_EXPORT_STATS,
     "status_breakdown": SQL_STATUS_BREAKDOWN,
-    "topk_recent": SQL_TOPK_RECENT,
     "linkgraph_sort": SQL_LINKGRAPH_SORT,
     "admission_cap": SQL_ADMISSION_CAP,
     "first_occurrence": SQL_FIRST_OCCURRENCE,
     "content_stats": SQL_CONTENT_STATS,
     "scalar_funcs": SQL_SCALAR_FUNCS,
-    "json_extract": SQL_JSON_EXTRACT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "ship_priority": SQL_SHIP_PRIORITY,
     "region_volume": SQL_REGION_VOLUME,

@@ -895,20 +895,20 @@ WHERE t.vec_id % {EMBED_DECON_MOD} != 0
 # embed_neardup drives the identical brute-force path as embed_cosine_topk
 # (same _flat_dot / guard / repartition) and is the all-pairs form the
 # cardinality guard forbids at scale anyway; embed_dedup_clusters composes
-# it with the shared star labeling; embed_semdedup shares the trained
-# quantizer already driver-tested through embed_ivf_ann. All demoted to
-# keep the driver's 8 KB correctness file at its 50-row budget.
+# it with the shared star labeling. Demoted to keep the driver's 8 KB
+# correctness file at its 50-row budget. embed_semdedup (the corpus-linear
+# semantic dedup flagship) was rotated INTO the driver tier in round 4.
+QUERIES["embed_semdedup"] = embed_semdedup
+ORACLES["embed_semdedup"] = SQL_EMBED_SEMDEDUP
 LOCAL_QUERIES = {
     "embed_neardup": embed_neardup,
     "embed_neardup_lsh": embed_neardup_lsh,
     "embed_dedup_clusters": embed_dedup_clusters,
-    "embed_semdedup": embed_semdedup,
     "embed_decontaminate": embed_decontaminate,
 }
 LOCAL_ORACLES = {
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
-    "embed_semdedup": SQL_EMBED_SEMDEDUP,
     "embed_decontaminate": SQL_EMBED_DECONTAMINATE,
 }

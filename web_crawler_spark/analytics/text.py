@@ -862,12 +862,19 @@ QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "corpus_retention": corpus_retention,
+    # promoted to the driver tier in round 4 (registry rotation): the full
+    # five-gate curation verdict is the text tier's flagship composition
+    "corpus_pipeline_full": corpus_pipeline_full,
 }
 
 ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "corpus_retention": SQL_CORPUS_RETENTION,
+    "corpus_pipeline_full": SQL_CORPUS_PIPELINE_FULL.format(
+        sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP,
+        sql_clf=SQL_TEXT_CLASSIFY_QUALITY, sql_smp=SQL_DOMAIN_RESAMPLE,
+    ),
 }
 
 # local tier: oracle-paired and pytest/check_parity-verified, kept off the
@@ -876,7 +883,6 @@ LOCAL_QUERIES = {
     "text_repetition": text_repetition,
     "line_dedup": line_dedup,
     "domain_resample": domain_resample,
-    "corpus_pipeline_full": corpus_pipeline_full,
     "text_pii_redact": text_pii_redact,
     "text_classify_quality": text_classify_quality,
     "text_lm_score": text_lm_score,
@@ -887,10 +893,6 @@ LOCAL_ORACLES = {
     "text_repetition": SQL_TEXT_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
     "domain_resample": SQL_DOMAIN_RESAMPLE,
-    "corpus_pipeline_full": SQL_CORPUS_PIPELINE_FULL.format(
-        sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP,
-        sql_clf=SQL_TEXT_CLASSIFY_QUALITY, sql_smp=SQL_DOMAIN_RESAMPLE,
-    ),
     "text_pii_redact": SQL_TEXT_PII_REDACT,
     "text_classify_quality": SQL_TEXT_CLASSIFY_QUALITY,
 }
