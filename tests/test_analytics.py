@@ -887,3 +887,50 @@ def test_caption_hard_negatives_excludes_positives(spark):
         assert all(r["neg_ref"] != claimed and r["neg_ref"] != q for r in rs)
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_lm_score_overflow_guard_trips(spark):
+    """The fixed-point numerator LM_Q*(c2+1) must fail LOUDLY past the int64
+    bound (Spark non-ANSI would otherwise wrap silently); below the bound the
+    guarded expression equals the plain arithmetic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException  # noqa: F401
+
+    from web_crawler_spark.analytics.text import _LM_Q_EXPR, LM_MAX_C2, LM_Q
+
+    ok = spark.createDataFrame(
+        [(LM_MAX_C2, LM_MAX_C2 + 100, 7)], "c2 long, c1 long, v long"
+    )
+    got = ok.select(F.expr(_LM_Q_EXPR).alias("q")).collect()[0]["q"]
+    assert got == LM_Q * (LM_MAX_C2 + 1) // (LM_MAX_C2 + 100 + 7)
+
+    bad = spark.createDataFrame(
+        [(LM_MAX_C2 + 1, LM_MAX_C2 + 100, 7)], "c2 long, c1 long, v long"
+    )
+    with pytest.raises(Exception, match="int64 fixed-point bound"):
+        bad.select(F.expr(_LM_Q_EXPR).alias("q")).collect()
+
+
+def test_word_hash32_streams_independent(spark):
+    """common.word_hash32(1) and (9) read disjoint md5 hex ranges: same
+    values as hashlib on both streams, and the streams differ per word —
+    the composite span-gram key really carries 64 bits of word entropy."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.analytics.common import word_hash32
+
+    words = ["alpha", "beta", "gamma", "Mixed Case  spaced"]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    rows = df.select(
+        "text",
+        F.expr(word_hash32(1)).alias("h1"),
+        F.expr(word_hash32(9)).alias("h2"),
+    ).collect()
+    for r in rows:
+        toks = r["text"].strip().lower().split()
+        exp1 = [int(hashlib.md5(t.encode()).hexdigest()[0:8], 16) for t in toks]
+        exp2 = [int(hashlib.md5(t.encode()).hexdigest()[8:16], 16) for t in toks]
+        assert list(r["h1"]) == exp1 and list(r["h2"]) == exp2
+        assert list(r["h1"]) != list(r["h2"])

@@ -11,6 +11,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Canonical tokenizer + per-word hash
+# -----------------------------------
+# ONE definition of the whitespace tokenizer and the md5-prefix word hash,
+# shared by every gram/bigram/span/fingerprint operator (dedup.py, text.py).
+# Three drifting copies of this recipe existed through round 3; if the
+# tokenizer or hash ever changes, every operator must move together or
+# cross-operator joins on word hashes silently stop matching.
+
+WORDS = r"split(lower(trim(text)), '\\s+')"
+SQL_WORDS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+
+
+def word_hash32(offset: int = 1) -> str:
+    """Spark expr: array<bigint> of per-word 32-bit hashes — md5 hex chars
+    [offset, offset+8) as int64. *offset* selects an independent 32-bit
+    stream from the same digest (offset=1 and offset=9 are independent),
+    letting composite keys reach 64 bits of word-level entropy with one md5
+    evaluation recipe."""
+    return (
+        f"transform({WORDS}, w -> "
+        f"cast(conv(substring(md5(w), {offset}, 8), 16, 10) as bigint))"
+    )
+
+
+def sql_word_hash32(offset: int = 1) -> str:
+    """DuckDB twin of :func:`word_hash32` (bit-identical values)."""
+    return (
+        f"[CAST(('0x' || substring(md5(w), {offset}, 8)) AS BIGINT) "
+        f"FOR w IN {SQL_WORDS}]"
+    )
+
+
 # Order-independent SUM over doubles
 # ----------------------------------
 # A plain double SUM is reduction-order-dependent (float addition is not

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import table
+from .common import SQL_WORDS, WORDS as _WORDS, sql_word_hash32, table, word_hash32
 
 N_HASHES = 16
 N_BANDS = 8
@@ -75,7 +75,7 @@ SHINGLE_DF_CAP = 50
 # shared shingle / token fragments
 # ---------------------------------------------------------------------------
 
-_WORDS = r"split(lower(trim(text)), '\\s+')"
+# tokenizer comes from common.WORDS (one shared definition)
 # 3-gram shingles, distinct, guarded for <3-word docs (Spark's sequence()
 # DESCENDS when start > stop — the guard is semantics, not style)
 _SHINGLES = (
@@ -85,7 +85,6 @@ _SHINGLES = (
     f"ELSE array() END"
 )
 
-SQL_WORDS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
 SQL_SHINGLE_CTE = f"""
 shingle AS (
   SELECT doc_id, unnest(list_distinct(
@@ -732,21 +731,34 @@ ORDER BY t.doc_id
 
 SPAN_G = 8            # gram length in tokens = minimum detectable passage
 SPAN_DUP_RATIO_T = 0.5  # keep iff <= this fraction of tokens is duplicated
-_SPAN_P = 1000000007
-# per-position coefficients (distinct primes): word hashes are < 2^32, so
-# each term < 2^32·53 and the 8-term sum < 2^42 — no int64 overflow in
-# either engine before the mod
-_SPAN_COEF = [53, 47, 43, 41, 37, 31, 29, 23]
+# The gram key is ~60 bits, packed from TWO independent 30-bit linear mixes,
+# each over its own 32-bit word-hash stream (md5 hex chars 1-8 and 9-16 —
+# common.word_hash32(1|9)). A false duplicated span therefore needs a
+# simultaneous collision in both halves: expected collisions over a corpus
+# with N distinct grams ≈ N²/2^61 (≈2e-7 at 10^9 grams — negligible at the
+# 100 TB target), and a word-level collision needs both 32-bit prefixes to
+# agree (64-bit birthday). Round 3 keyed on ONE 30-bit mix, whose birthday
+# floor (~3e4 grams) would mark false duplicated spans at corpus scale.
+# Arithmetic bounds (both engines stay in exact int64): word hash < 2^32,
+# coefficient <= 89 → term < 2^39, 8-term sum < 2^42; each mix mod a <2^30
+# prime; pack = mix1·2^30 + mix2 < 2^60.
+_SPAN_P1 = 1073741789  # largest prime < 2^30
+_SPAN_P2 = 1073741783
+_SPAN_COEF1 = [53, 47, 43, 41, 37, 31, 29, 23]
+_SPAN_COEF2 = [59, 61, 67, 71, 73, 79, 83, 89]
 
-# Spark arrays index 0-based with [], 1-based with element_at; the transform
-# variable i is the 1-based gram start, so term j reads w-hash [i-1+j]
+
+def _span_mix(arr: str, coef: list[int], prime: int, base: int) -> str:
+    """Linear mix of the G word hashes starting at 1-based position i.
+    *base* is the index offset (*arr*[i + base + j]): 0-based Spark [] needs
+    -1, 1-based DuckDB needs 0."""
+    terms = " + ".join(f"{arr}[i + {base + j}] * {c}" for j, c in enumerate(coef))
+    return f"(({terms}) % {prime})"
+
+
 _SPAN_GH = (
-    "("
-    + " + ".join(f"hs[i - 1 + {j}] * {c}" for j, c in enumerate(_SPAN_COEF))
-    + f") % {_SPAN_P}"
-)
-_SPAN_WHASH = (
-    f"transform({_WORDS}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    f"{_span_mix('h1', _SPAN_COEF1, _SPAN_P1, -1)} * 1073741824 "
+    f"+ {_span_mix('h2', _SPAN_COEF2, _SPAN_P2, -1)}"
 )
 
 
@@ -763,13 +775,17 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     # one row per G-gram with its 1-based start position
     grams = (
-        d.select("doc_id", F.expr(_SPAN_WHASH).alias("hs"))
-        .filter(F.size("hs") >= SPAN_G)
+        d.select(
+            "doc_id",
+            F.expr(word_hash32(1)).alias("h1"),
+            F.expr(word_hash32(9)).alias("h2"),
+        )
+        .filter(F.size("h1") >= SPAN_G)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size(hs) - {SPAN_G - 1}), "
+                    f"transform(sequence(1, size(h1) - {SPAN_G - 1}), "
                     f"i -> struct(i as pos, {_SPAN_GH} as gh))"
                 )
             ).alias("g"),
@@ -817,23 +833,23 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SPAN_GH = (
-    "("
-    + " + ".join(f"hs[i + {j}] * {c}" for j, c in enumerate(_SPAN_COEF))
-    + f") % {_SPAN_P}"
+    f"{_span_mix('h1', _SPAN_COEF1, _SPAN_P1, 0)} * 1073741824 "
+    f"+ {_span_mix('h2', _SPAN_COEF2, _SPAN_P2, 0)}"
 )
 
 SQL_SPAN_DEDUP = f"""
 WITH toks AS (
   SELECT doc_id,
-         [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) FOR w IN {SQL_WORDS}] AS hs
+         {sql_word_hash32(1)} AS h1,
+         {sql_word_hash32(9)} AS h2
   FROM documents
 ),
 grams AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(hs) - {SPAN_G - 1})) AS pos,
+         unnest(generate_series(1, len(h1) - {SPAN_G - 1})) AS pos,
          unnest([{_SQL_SPAN_GH}
-                 FOR i IN generate_series(1, len(hs) - {SPAN_G - 1})]) AS gh
-  FROM toks WHERE len(hs) >= {SPAN_G}
+                 FOR i IN generate_series(1, len(h1) - {SPAN_G - 1})]) AS gh
+  FROM toks WHERE len(h1) >= {SPAN_G}
 ),
 dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
 spans AS (

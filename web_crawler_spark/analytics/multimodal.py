@@ -512,6 +512,20 @@ def image_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HN_K = 3  # hard negatives mined per image
 
+# Invariant: excluding the claimed positive can cost one ANN candidate and
+# a sparse IVF cell can return one fewer than TOP_K, so a full HN_K set per
+# query needs TOP_K >= HN_K + 2. Checked at import so retuning either knob
+# (or nprobe) can't silently starve the mining stage; per-query shortfalls
+# at a given scale remain visible because the pytest invariant pins exactly
+# HN_K rows per query (tests/test_analytics.py).
+from .similarity import TOP_K as _ANN_TOP_K  # noqa: E402
+
+assert _ANN_TOP_K >= HN_K + 2, (
+    f"caption_hard_negatives needs TOP_K >= HN_K + 2 "
+    f"(got TOP_K={_ANN_TOP_K}, HN_K={HN_K}); a sparse IVF cell plus the "
+    f"positive exclusion would silently yield short negative sets"
+)
+
 
 def caption_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-HN_K hardest negative caption refs per image query: nearest ANN

@@ -15,10 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .common import table
-
-_WORDS = r"split(lower(trim(text)), '\\s+')"
-SQL_WORDS = r"regexp_split_to_array(lower(trim(text)), '\s+')"
+from .common import SQL_WORDS, WORDS as _WORDS, sql_word_hash32, table, word_hash32
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -125,8 +122,9 @@ FROM (
 """
 
 
-# word hash: first 8 md5 hex chars as int64 (engine-portable)
-_WHASH = "transform(" + _WORDS + ", w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+# word hash: first 8 md5 hex chars as int64 (engine-portable; one shared
+# definition for all gram operators — common.word_hash32)
+_WHASH = word_hash32()
 # 3-word polynomial window hashes mod a prime, winnowing-style min
 _WINDOWS = (
     f"CASE WHEN size({_WORDS}) >= 3 THEN "
@@ -160,7 +158,7 @@ FROM (
          ELSE [CAST(0 AS BIGINT)] END AS wh
   FROM (
     SELECT doc_id,
-           [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) FOR w IN {SQL_WORDS}] AS hs
+           {sql_word_hash32()} AS hs
     FROM documents
   )
 )
@@ -251,8 +249,7 @@ WITH base AS (
            {_sql_hits('en')} AS n_stop
     FROM (
       SELECT doc_id, lang, text,
-             [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)
-              FOR w IN {SQL_WORDS}] AS hs
+             {sql_word_hash32()} AS hs
       FROM documents
     )
   )
@@ -765,6 +762,22 @@ FROM scored
 
 LM_Q = 1_000_000_000  # fixed-point scale for smoothed bigram probabilities
 LM_SCORE_T = 0.0005   # keep iff mean in-model probability >= this
+# Largest bigram count whose fixed-point product LM_Q·(c2+1) stays in int64.
+# Stopword bigrams WILL exceed this at the 100 TB corpus scale this module
+# targets; Spark (non-ANSI) would wrap silently and corrupt every score that
+# shares the plan, so the q expression asserts the bound per row — scale-up
+# fails loudly (DuckDB already errors on BIGINT overflow on its own). The
+# remedy at that scale is lowering LM_Q (score granularity), not removing
+# the guard.
+LM_MAX_C2 = (2**63 - 1) // LM_Q - 1
+
+# the assert_true is fused INTO the numerator (an unused guard column would
+# be pruned by the optimizer); it codegens to one comparison per row
+_LM_Q_EXPR = (
+    f"cast({LM_Q} as bigint) * (if(assert_true(c2 <= {LM_MAX_C2}, "
+    f"'text_lm_score: bigram count exceeds the int64 fixed-point bound "
+    f"{LM_MAX_C2}; lower LM_Q') is null, c2 + 1, null)) div (c1 + v)"
+)
 
 # bigram occurrences as PAIRS of 32-bit md5 word hashes (the fingerprint
 # family's word hash): one md5 per word — never per bigram string — and the
@@ -772,9 +785,6 @@ LM_SCORE_T = 0.0005   # keep iff mean in-model probability >= this
 # collision and no string concat/digest in the hot explode (a first cut
 # md5'd a concatenated string per occurrence ×3 consumer re-evaluations:
 # 26.3 s at sf0.1; this form runs the same suite slot in ~2 s)
-_WHASHES = (
-    f"transform({_WORDS}, w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
-)
 _BIGRAM_PAIRS = (
     "CASE WHEN size(hs) >= 2 THEN "
     "transform(sequence(1, size(hs) - 1), i -> struct(hs[i - 1] as w1_h, hs[i] as w2_h)) "
@@ -792,7 +802,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     occ = (
-        d.select("doc_id", F.expr(_WHASHES).alias("hs"))
+        d.select("doc_id", F.expr(_WHASH).alias("hs"))
         .select("doc_id", F.explode(F.expr(_BIGRAM_PAIRS)).alias("g"))
         .select("doc_id", F.col("g.w1_h").alias("w1_h"), F.col("g.w2_h").alias("w2_h"))
     )
@@ -803,7 +813,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.expr(_WORDS)).alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
-    q = F.expr(f"cast({LM_Q} as bigint) * (c2 + 1) div (c1 + v)")
+    q = F.expr(_LM_Q_EXPR)
     perdoc = (
         occ.join(c2, ["w1_h", "w2_h"])
         .join(c1, "w1_h")
@@ -827,7 +837,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_LM_SCORE = f"""
 WITH toks AS (
   SELECT doc_id,
-         [CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) FOR w IN {SQL_WORDS}] AS hs
+         {sql_word_hash32()} AS hs
   FROM documents
 ),
 occ AS (

@@ -36,9 +36,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..analytics.common import word_hash32
 from ..analytics.dedup import (
     _SPAN_GH,
-    _SPAN_WHASH,
     _WORDS,
     SPAN_DUP_RATIO_T,
     SPAN_G,
@@ -78,15 +78,16 @@ def _gram_spans(docs: DataFrame) -> DataFrame:
     gram arithmetic to the batch tier; docs shorter than G keep one
     null-gram row (explode_outer) so every arriving doc gets a verdict."""
     grams = (
-        f"CASE WHEN size(hs) >= {SPAN_G} THEN "
-        f"transform(sequence(1, size(hs) - {_G1}), i -> struct(i as pos, {_SPAN_GH} as gh)) "
+        f"CASE WHEN size(h1) >= {SPAN_G} THEN "
+        f"transform(sequence(1, size(h1) - {_G1}), i -> struct(i as pos, {_SPAN_GH} as gh)) "
         "ELSE array() END"
     )
     return (
         docs.select(
             "doc_id",
             F.expr(f"size({_WORDS})").alias("n_words"),
-            F.expr(_SPAN_WHASH).alias("hs"),
+            F.expr(word_hash32(1)).alias("h1"),
+            F.expr(word_hash32(9)).alias("h2"),
         )
         .select("doc_id", "n_words", F.explode_outer(F.expr(grams)).alias("g"))
         .select("doc_id", "n_words", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
