@@ -934,3 +934,35 @@ def test_word_hash32_streams_independent(spark):
         exp2 = [int(hashlib.md5(t.encode()).hexdigest()[8:16], 16) for t in toks]
         assert list(r["h1"]) == exp1 and list(r["h2"]) == exp2
         assert list(r["h1"]) != list(r["h2"])
+
+
+def test_pagerank_copartitioned_path_above_broadcast_gate(spark):
+    """host_pagerank's rank-side join is size-gated: above the node-count
+    gate the plan must carry NO broadcast of the O(nodes) rank table
+    (shuffle-hash against the standing edge partitioning instead) and still
+    produce bit-identical ranks."""
+    from web_crawler_spark.analytics.graph import host_pagerank
+
+    from web_crawler_spark.analytics.graph import PR_ITERS
+
+    base = host_pagerank(spark, SF_DIR)
+    gated = host_pagerank(spark, SF_DIR, broadcast_max_nodes=0)
+
+    def plan_of(df):
+        # simple mode prints each operator once (formatted repeats it in the
+        # per-operator detail section, doubling naive counts)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    p_base, p_gated = plan_of(base), plan_of(gated)
+    # each iteration's rank-side join swaps broadcast -> shuffle-hash; the
+    # un-hinted nodes-agg left joins stay AQE-decided in both plans (their
+    # static estimates scale with the data, so they pose no 10^8-node hazard)
+    assert p_gated.count("ShuffledHashJoin") >= PR_ITERS
+    assert (
+        p_base.count("BroadcastHashJoin") - p_gated.count("BroadcastHashJoin")
+        == PR_ITERS
+    )
+
+    assert [tuple(r) for r in base.collect()] == [tuple(r) for r in gated.collect()]

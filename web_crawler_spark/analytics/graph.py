@@ -35,19 +35,31 @@ from .text import SQL_WORDS, _WORDS
 # (deterministically, in both engines).
 #
 # Scale shape: edges join ranks on src each iteration — the canonical
-# distributed PageRank. The rank table is |nodes| rows (tiny vs |edges|), so
-# it is broadcast; the edge table keeps ONE hash partitioning on src across
-# all iterations (no re-shuffle per round). At 10^10 edges the same plan
-# holds with the broadcast swapped for a co-partitioned shuffle join on src
-# — the edge side still never re-partitions.
+# distributed PageRank. The join strategy is SIZE-GATED on the counted node
+# set: below PR_BROADCAST_MAX_NODES the |nodes|-row rank table is broadcast
+# (zero wide exchange per iteration); above it — host-grain graphs on the
+# open web reach 10^7-10^8 nodes, past any broadcast budget — rank is
+# shuffle-hash-joined against the edge table's standing hash partitioning on
+# src (rank is the build side: |nodes| << |edges|, and hinting shuffle_hash
+# keeps AQE from "helpfully" broadcasting the small side in tests AND from
+# sort-merging at scale, where re-sorting the big edge side every iteration
+# would dominate). The edge table keeps ONE hash partitioning across all
+# iterations in either mode.
 
 PR_MOD = 97
 PR_R0 = 1_000_000
 PR_BASE = 150_000  # floor(0.15 * 1e6)
 PR_ITERS = 3
+# rank rows are two longs (~16 B + row overhead); 10^7 rows ≈ a few hundred
+# MB serialized — the edge of what per-executor broadcast maps tolerate
+PR_BROADCAST_MAX_NODES = 10_000_000
 
 
-def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def host_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_nodes: int = PR_BROADCAST_MAX_NODES,
+) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     edges = (
         ev.select(
@@ -69,10 +81,15 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=True)
     )
+    # one O(1)-output count gates the per-iteration join strategy (the node
+    # set is static across iterations, so this is paid once)
+    n_nodes = nodes.count()
+    use_broadcast = n_nodes <= broadcast_max_nodes
     rank = nodes.select("node", F.lit(PR_R0).cast("long").alias("rank"))
     for _ in range(PR_ITERS):
+        rank_side = F.broadcast(rank) if use_broadcast else rank.hint("shuffle_hash")
         contrib = ew.join(
-            F.broadcast(rank), ew["src"] == rank["node"]
+            rank_side, ew["src"] == rank["node"]
         ).select(
             "dst",
             F.expr("(rank * 17) DIV (20 * outdeg)").alias("c"),
