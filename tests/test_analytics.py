@@ -63,11 +63,12 @@ def test_oracle_parity(spark, duck, name):
 
 
 def test_every_query_has_registry_consistency():
-    # every oracle key must have a query; non-oracle queries are the
-    # documented rows-only set (iterative engine + binary payload ops)
+    # every oracle key must have a query, and every query an oracle:
+    # since crawl_bfs gained its simulator-derived VALUES oracle, the
+    # rows-only set is empty — every registered query is oracle-paired
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"crawl_bfs"}  # the iterative engine is the only non-SQL op left
+    assert rows_only == set()
 
 
 def test_driver_correctness_file_budget():
@@ -176,7 +177,7 @@ def test_embed_semdedup_verdict(spark):
             acc += x * y
         return acc
 
-    rows = LOCAL_QUERIES["embed_semdedup"](spark, SF_DIR).collect()
+    rows = QUERIES["embed_semdedup"](spark, SF_DIR).collect()
     emb = {
         r["vec_id"]: [float(np.float64(x)) for x in r["embedding"]]
         for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
@@ -431,7 +432,7 @@ def test_corpus_pipeline_full_verdict(spark):
     first, then repetitive, boilerplate, model_filtered, downsampled)
     matches the component verdicts, and each gate actually fires on this
     corpus."""
-    comp = {r["doc_id"]: r for r in LOCAL_QUERIES["corpus_pipeline_full"](spark, SF_DIR).collect()}
+    comp = {r["doc_id"]: r for r in QUERIES["corpus_pipeline_full"](spark, SF_DIR).collect()}
     assert len(comp) == 500
     ret = {r["doc_id"]: r["drop_reason"] for r in QUERIES["corpus_retention"](spark, SF_DIR).collect()}
     rep = {r["doc_id"]: r["rep_ok"] for r in LOCAL_QUERIES["text_repetition"](spark, SF_DIR).collect()}

@@ -149,6 +149,66 @@ def test_engine_per_host_with_compaction(spark, tmp_path):
     assert any("compacted_through" in s for s in snaps)  # compaction happened
 
 
+def test_engine_per_host_watermarks_table_backed(spark, tmp_path):
+    """Per-host watermarks live in the host_wm snapshot table — the driver and
+    the state file carry ZERO per-host state (the O(hosts) dict + per-round
+    collect() was the last O(hosts) driver structure). A resumed run must
+    reconstruct scheduling purely from the table and finish identically to an
+    uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
+    full = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "full"),
+                        budget=3, politeness_mode="per_host")
+    part = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "res"),
+                        budget=3, politeness_mode="per_host", max_rounds=2)
+    assert part.rounds == 2
+    st = part.state.load()
+    assert "host_watermarks" not in st  # no per-host driver state persisted
+    assert part.tables["host_wm"].exists()
+    res = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "res"),
+                       budget=3, politeness_mode="per_host", resume=True)
+    _assert_per_host_invariants(spark, res)
+    a = [(r["seq"], r["url"]) for r in full.read(spark, "seen").orderBy("seq").collect()]
+    b = [(r["seq"], r["url"]) for r in res.read(spark, "seen").orderBy("seq").collect()]
+    assert a == b and a
+    # the aggregated table equals the per-host max consumed seq of the stage
+    wm = {r["host"]: r["_wm"]
+          for r in engine._host_wm_agg(spark, res.tables["host_wm"]).collect()}
+    stage_max = {r["host"]: r["mx"]
+                 for r in res.read(spark, "stage").groupBy("host")
+                 .agg(F.max("seq").alias("mx")).collect()}
+    assert wm == stage_max
+
+
+def test_engine_per_host_legacy_state_shim(spark, tmp_path):
+    """Run states written before the host_wm table carried the watermark map
+    as a ``host_watermarks`` dict in the state JSON. Resume must materialize
+    that dict into the table once and continue to the same final crawl."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    job = JobConfig(job_id=3, start_url="http://site0.test/p/0", max_pages=40, max_depth=3, delay=0.0)
+    full = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "full"),
+                        budget=3, politeness_mode="per_host")
+    part = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "leg"),
+                        budget=3, politeness_mode="per_host", max_rounds=2)
+    # rewrite the run dir into the legacy shape: dict in state, no table
+    wm = {r["host"]: int(r["_wm"])
+          for r in engine._host_wm_agg(spark, part.tables["host_wm"]).collect()}
+    st = part.state.load()
+    st["host_watermarks"] = wm
+    part.state.save(st)
+    shutil.rmtree(part.tables["host_wm"].dir)
+
+    res = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "leg"),
+                       budget=3, politeness_mode="per_host", resume=True)
+    a = [(r["seq"], r["url"]) for r in full.read(spark, "seen").orderBy("seq").collect()]
+    b = [(r["seq"], r["url"]) for r in res.read(spark, "seen").orderBy("seq").collect()]
+    assert a == b and a
+
+
 def test_engine_resume_from_snapshot(spark, tmp_path, golden):
     """Kill after round k, resume → byte-identical final tables (SURVEY §5.7)."""
     path = str(tmp_path / "resume")

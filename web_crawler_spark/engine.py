@@ -37,9 +37,12 @@ Scale design (the 10^10-frontier story):
   routes definitely-new candidates around it (false positives only cost time —
   the exact anti-join remains the source of truth).
 - NO mode writes a physical frontier: global/FIFO modes derive pending from
-  a single seq watermark; per_host derives it from an O(active hosts)
-  host→consumed-seq watermark map kept in the round state (per-host
-  consumption is a contiguous per-host seq prefix by construction).
+  a single seq watermark; per_host derives it from the ``host_wm`` snapshot
+  table (one appended (host, max consumed seq) row per active host per round;
+  per-host consumption is a contiguous per-host seq prefix by construction).
+  The driver holds zero per-host state — watermark maintenance is a
+  distributed agg + append, and the pending filter joins the aggregated
+  table (broadcast below WM_BROADCAST_MAX_HOSTS, AQE-planned above).
 - politeness is a virtual-clock budget (the reference sleeps ``delay`` seconds
   between requests, crawler.py:637-638 ⇒ ≤ round_seconds/delay fetches per
   round), so ordering is timing-independent and reproducible.
@@ -86,12 +89,28 @@ from .functions import udfs
 from .functions.filters import BloomFilter64
 from .schemas import FRONTIER_SCHEMA, N_HOST_BUCKETS, N_SALTS
 
-PHYSICAL_TABLES = ("stage", "admissions", "frontier")
+PHYSICAL_TABLES = ("stage", "admissions", "frontier", "host_wm")
 DERIVED_TABLES = ("seen", "crawl_log", "links", "outcomes", "metrics")
 
 STAGE_SCHEMA = T.StructType(
     list(udfs.FETCHED_SCHEMA.fields) + [T.StructField("round", T.IntegerType(), False)]
 )
+
+# per_host politeness watermarks live in this snapshot table (host, wm):
+# one appended row per (active host, round), read back as groupBy(host).max(wm).
+# The driver carries ZERO per-host state — at 10^8 hosts the old dict +
+# per-round collect() was the one remaining O(hosts) driver structure.
+HOST_WM_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("wm", T.LongType(), False),
+    ]
+)
+# below this many seen URLs (an upper bound on distinct hosts) the aggregated
+# watermark side is broadcast into the pending filter; above it the join is
+# left un-hinted so AQE picks a shuffle strategy — the watermark table is
+# O(hosts) and must never be forced through a broadcast at open-web scale
+WM_BROADCAST_MAX_HOSTS = 1_000_000
 
 # below this many fresh candidates, a single-partition window rank is cheaper
 # than the two-phase range rank (3 jobs → 1); well within one executor's memory
@@ -137,11 +156,16 @@ class CrawlRun:
                 if mode == "derived":
                     lo = st["next_seq"] - st["pending_count"]
                     return adm.filter(F.col("seq") >= lo)
-                return _apply_host_watermarks(spark, adm, st.get("host_watermarks", {}))
+                wm_agg = _host_wm_agg(spark, self.tables["host_wm"], st)
+                return _apply_host_watermarks(adm, wm_agg, st.get("seen_count", 0))
             # legacy physical-frontier runs (pre-watermark per_host)
             return self.tables["frontier"].read(spark, schema=FRONTIER_SCHEMA)
         if name in PHYSICAL_TABLES:
-            schema = STAGE_SCHEMA if name == "stage" else FRONTIER_SCHEMA
+            schema = (
+                STAGE_SCHEMA if name == "stage"
+                else HOST_WM_SCHEMA if name == "host_wm"
+                else FRONTIER_SCHEMA
+            )
             return self.tables[name].read(spark, as_of_round=as_of_round, schema=schema)
         if name == "seen":
             # admissions-only projection: never touches the stage table (the
@@ -272,20 +296,44 @@ def _frontier_row_cols(df: DataFrame, round_added: int) -> DataFrame:
     )
 
 
-def _apply_host_watermarks(spark: SparkSession, adm: DataFrame, wm: dict) -> DataFrame:
+def _host_wm_agg(
+    spark: SparkSession, table: SnapshotTable, state: Optional[dict] = None
+) -> Optional[DataFrame]:
+    """Current per-host consumed watermark as a DataFrame: groupBy(host).max
+    over the append-only host_wm snapshot table (one row per active host per
+    round; partial-aggregates map-side). Returns None when no host has
+    consumed anything yet. Legacy fallback: run states written before the
+    table existed carried the map as a ``host_watermarks`` dict — honor it so
+    old run directories stay readable."""
+    wm = table.read(spark, schema=HOST_WM_SCHEMA)
+    if wm is not None:
+        return wm.groupBy("host").agg(F.max("wm").alias("_wm"))
+    legacy = (state or {}).get("host_watermarks")
+    if legacy:
+        return spark.createDataFrame(
+            [(h, int(s)) for h, s in legacy.items()], "host string, _wm long"
+        )
+    return None
+
+
+def _apply_host_watermarks(
+    adm: DataFrame, wm_agg: Optional[DataFrame], approx_hosts: int
+) -> DataFrame:
     """Per-host pending derivation: pending = admissions rows whose seq lies
     beyond their host's consumed watermark. Within a host, scheduling always
     consumes the lowest pending seqs first, so the consumed set is a contiguous
-    per-host seq prefix and one long per host describes it exactly. State is
-    O(active hosts) (broadcast-joined), frontier I/O is zero — admissions stay
-    append-only and this filter is parquet-stat-prunable on seq."""
-    if not wm:
+    per-host seq prefix and one long per host describes it exactly. The
+    watermark side is O(active hosts) and lives in the host_wm snapshot table
+    — NOT on the driver; below WM_BROADCAST_MAX_HOSTS (gated on the seen
+    count, an upper bound on distinct hosts) it is broadcast, above that the
+    join is un-hinted and AQE picks the exchange. Frontier I/O stays zero —
+    admissions are append-only and the filter is parquet-stat-prunable on
+    seq."""
+    if wm_agg is None:
         return adm
-    wm_df = spark.createDataFrame(
-        [(h, int(s)) for h, s in wm.items()], "host string, _wm long"
-    )
+    right = F.broadcast(wm_agg) if approx_hosts <= WM_BROADCAST_MAX_HOSTS else wm_agg
     return (
-        adm.join(F.broadcast(wm_df), "host", "left")
+        adm.join(right, "host", "left")
         .filter(F.col("seq") > F.coalesce(F.col("_wm"), F.lit(-1)))
         .drop("_wm")
     )
@@ -332,14 +380,14 @@ def crawl(
     # frontier). global/None: pending = `seq >= next_seq - pending_count`
     # (FIFO invariant: admissions append at the top, scheduling consumes the
     # contiguous bottom). per_host: per-host consumption is still a contiguous
-    # per-host seq prefix, so pending = `seq > host_watermark[host]` with an
-    # O(active hosts) watermark map in the round state. At 10^10-frontier
-    # scale this removes every per-round O(frontier) write: scheduling is a
-    # parquet-stat-pruned filter over the admissions table.
+    # per-host seq prefix, so pending = `seq > host_watermark[host]` with the
+    # watermark map kept in the host_wm snapshot table (O(active hosts) rows,
+    # never on the driver). At 10^10-frontier scale this removes every
+    # per-round O(frontier) write AND every O(hosts) driver structure:
+    # scheduling is a parquet-stat-pruned filter over the admissions table.
     frontier_mode = (
         "derived_per_host" if (budget is not None and politeness_mode == "per_host") else "derived"
     )
-    host_wm: dict[str, int] = {}
 
     if resume and (state := state_store.load()):
         if state.get("frontier") not in ("derived", "derived_per_host"):
@@ -358,7 +406,15 @@ def crawl(
         # every state save writes pending_count — a missing key means a
         # foreign/corrupt state file, not a valid resume point
         pending_count = state["pending_count"]
-        host_wm = dict(state.get("host_watermarks", {}))
+        # legacy shim: states written before the host_wm table carried the
+        # watermark map as a driver-side dict — materialize it into the table
+        # once so the resumed run's per-round deltas compose with it
+        if state.get("host_watermarks") and not tables["host_wm"].exists():
+            legacy_df = spark.createDataFrame(
+                [(h, int(s)) for h, s in state["host_watermarks"].items()],
+                HOST_WM_SCHEMA,
+            )
+            tables["host_wm"].write(legacy_df, rnd)
     else:
         if resume:
             # resume requested but no run state exists: the crash happened
@@ -381,8 +437,6 @@ def crawl(
         rnd, next_seq, seen_count, pending_count = 0, 1, 1, 1
         st0 = {"round": 0, "next_seq": 1, "seen_count": 1,
                "pending_count": 1, "frontier": frontier_mode}
-        if frontier_mode == "derived_per_host":
-            st0["host_watermarks"] = {}
         state_store.save(st0)
 
     fetch_fn = udfs.make_fetch_parse(cfg, job, rules)
@@ -403,7 +457,8 @@ def crawl(
             lo = next_seq - pending_count
             pending = adm.filter(F.col("seq") >= lo)
         else:
-            pending = _apply_host_watermarks(spark, adm, host_wm)
+            wm_agg = _host_wm_agg(spark, tables["host_wm"])
+            pending = _apply_host_watermarks(adm, wm_agg, seen_count)
         # size the fetch stage on what will actually be SCHEDULED this round,
         # not the whole pending frontier (with a small budget the two differ
         # by orders of magnitude)
@@ -445,16 +500,16 @@ def crawl(
         tm.mark("stage_write")
         stage = spark.read.schema(STAGE_SCHEMA).parquet(snap.path)
         if n_sched is None:
-            # per_host: one tiny agg over THIS round's just-written stage
-            # parquet (O(scheduled) rows, O(hosts) output) both counts the
-            # consumed rows and advances each host's watermark — the whole
-            # frontier update is this dict merge, no remaining-table rewrite
-            per_host = stage.groupBy("host").agg(
-                F.max("seq").alias("_mx"), F.count("*").alias("_cnt")
-            ).collect()
-            n_sched = sum(r["_cnt"] for r in per_host)
-            for r in per_host:
-                host_wm[r["host"]] = max(int(r["_mx"]), host_wm.get(r["host"], -1))
+            # per_host: one tiny distributed agg over THIS round's just-written
+            # stage parquet (O(scheduled) rows, O(active hosts) output)
+            # advances each host's watermark — APPENDED to the host_wm
+            # snapshot table, never collected to the driver (the read-time
+            # groupBy(host).max(wm) folds rounds together). n_sched is a
+            # parquet-footer count. The whole frontier update is these two
+            # metadata-cheap jobs; the driver carries zero per-host state.
+            wm_delta = stage.groupBy("host").agg(F.max("seq").alias("wm"))
+            tables["host_wm"].write(wm_delta, rnd)
+            n_sched = stage.count()
 
         # ---- candidate children → dedup → anti-join seen → admission -------
         n_admit_room = job.max_pages - seen_count
@@ -590,8 +645,6 @@ def crawl(
             "round": rnd, "next_seq": next_seq, "seen_count": seen_count,
             "pending_count": pending_count, "frontier": frontier_mode,
         }
-        if frontier_mode == "derived_per_host":
-            st["host_watermarks"] = host_wm
         state_store.save(st)
         run.rounds = rnd
         tm.mark("frontier_commit")
@@ -606,6 +659,12 @@ def crawl(
             tables["admissions"].compact(
                 spark, up_to_round=rnd, schema=FRONTIER_SCHEMA, cluster_by=["seq"]
             )
+            if tables["host_wm"].exists():
+                # host-clustered so the read-time groupBy(host).max(wm)
+                # partial-aggregates within row groups
+                tables["host_wm"].compact(
+                    spark, up_to_round=rnd, schema=HOST_WM_SCHEMA, cluster_by=["host"]
+                )
             tm.mark("compact")
         tm.report()
 
