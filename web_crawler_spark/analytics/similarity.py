@@ -621,10 +621,15 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the L×B collision probability IDENTICALLY in both engines
     (same signature arithmetic, bit-for-bit), so the oracle sees the same
     pair set. Shuffles on (table, bucket) then vec_id — never all pairs.
-    Measured: 19 of the 271 exact sim>=0.35 pairs at sf0.01 — that corpus is
-    adversarial for sign-LSH (pairs barely over a low threshold; cos 0.35 ≈
-    69°, near-orthogonal); genuine near-dup regimes (clustered corpus,
-    sim>=0.83) collide at the 0.98-1.0 rates measured in BENCH.md §3b."""
+
+    RECALL CONTRACT (scripts/pair_recall.py, BENCH.md §3b): precision = 1.0
+    by construction (exact verify on candidates); pair recall vs the exact
+    baseline rises with pair similarity — 0.07 on the adversarial driver
+    corpus (every pair in the near-orthogonal 0.35-0.60 band; cos 0.35 ≈
+    69°), 0.76 for sim>=0.80 pairs on the clustered corpus. Single-probe on
+    both sides of the self-join is the documented trade: Hamming-1 expansion
+    (the query tier's trick) would lift high-band recall to ~0.99 at ~11×
+    the index rows."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     b = _signature_buckets(spark, table(spark, sf_dir, "embeddings"))
     cand = (
@@ -776,7 +781,14 @@ def embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k≈4×10^7 cells of ~256; a real deployment samples the seed set instead
     of taking the first k ids (documented, not needed at test scale).
     Assignment is integer-exact (see _train_quantizer), pair sims round to
-    6 dp — bit-equal to the DuckDB oracle."""
+    6 dp — bit-equal to the DuckDB oracle.
+
+    RECALL CONTRACT (scripts/pair_recall.py, BENCH.md §3b): drops are a
+    subset of the exact drop set (precision 1.0, asserted); drop recall vs
+    exact greedy dedup is 0.97 on the clustered corpus (misses only vectors
+    whose lower-id duplicate fell in a different cell) and 0.42-0.53 on the
+    adversarial near-threshold driver corpus — the floor, not the operating
+    point."""
     e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = _assign_cells(spark, e_scan)
     a = _with_norm(assigned).select(
