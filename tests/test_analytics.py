@@ -568,6 +568,76 @@ def test_image_curate_verdict(spark):
     assert {"near_duplicate", "too_small", "bad_aspect", "kept"} <= seen
 
 
+def test_audio_video_curate_verdicts(spark):
+    """Composed audio/video curation verdicts (the image_curate twins):
+    every drop_reason equals a pure-Python third-engine recompute of the same
+    gates with the same precedence, and every content gate fires on this
+    corpus."""
+    import numpy as np
+
+    from web_crawler_spark.analytics.multimodal import (
+        AUDIO_CLIP_FRAC_T, AUDIO_MIN_S, AUDIO_RMS_MIN,
+        N_AUDIO, N_VIDEO, VIDEO_MIN_FPS, VIDEO_MIN_S, VIDEO_MOTION_MIN,
+    )
+    from web_crawler_spark.core import audiocodec, videocodec
+
+    got_a = {r["audio_id"]: r for r in LOCAL_QUERIES["audio_curate"](spark, SF_DIR).collect()}
+    assert len(got_a) == N_AUDIO
+    seen_a = set()
+    for i in range(N_AUDIO):
+        aid = f"aud-{i}"
+        row = audiocodec.audio_row(aid, seed=42)
+        s, sr, fmt = audiocodec.decode(row["bytes"])
+        f = audiocodec.features(s, sr)
+        ref = audiocodec.reference_samples(aid, len(s))
+        ok = (audiocodec.snr_db(ref, s) >= audiocodec.SNR_OK_DB
+              if fmt in audiocodec.LOSSY_FMTS else bool(np.array_equal(s, ref)))
+        dec = sr == row["sr"] and len(s) == row["n_samples"] and fmt == row["fmt"]
+        if not dec:
+            exp = "decode_failed"
+        elif not ok:
+            exp = "samples_mismatch"
+        elif f["duration_s"] < AUDIO_MIN_S:
+            exp = "too_short"
+        elif f["n_clipped"] / len(s) > AUDIO_CLIP_FRAC_T:
+            exp = "clipped"
+        elif f["rms"] < AUDIO_RMS_MIN:
+            exp = "quiet"
+        else:
+            exp = "kept"
+        assert got_a[aid]["drop_reason"] == exp, aid
+        assert got_a[aid]["keep"] == (exp == "kept")
+        seen_a.add(exp)
+    assert {"too_short", "clipped", "quiet", "kept"} <= seen_a
+
+    got_v = {r["video_id"]: r for r in LOCAL_QUERIES["video_curate"](spark, SF_DIR).collect()}
+    assert len(got_v) == N_VIDEO
+    seen_v = set()
+    for i in range(N_VIDEO):
+        vid = f"vid-{i}"
+        row = videocodec.video_row(vid, seed=42)
+        f = videocodec.features(vid, row["bytes"])
+        dec = (f["fmt"] == row["fmt"] and f["fps"] == row["fps"]
+               and f["n_frames"] == row["n_frames"]
+               and f["w"] == row["w"] and f["h"] == row["h"])
+        if not dec:
+            exp = "decode_failed"
+        elif not videocodec.frames_ok(vid, row["bytes"]):
+            exp = "frames_mismatch"
+        elif f["duration_s"] < VIDEO_MIN_S:
+            exp = "too_short"
+        elif f["fps"] < VIDEO_MIN_FPS:
+            exp = "low_fps"
+        elif f["motion"] < VIDEO_MOTION_MIN:
+            exp = "static"
+        else:
+            exp = "kept"
+        assert got_v[vid]["drop_reason"] == exp, vid
+        assert got_v[vid]["keep"] == (exp == "kept")
+        seen_v.add(exp)
+    assert {"too_short", "low_fps", "static", "kept"} <= seen_v
+
+
 def test_image_exact_dedup_verdict(spark):
     """Third-engine check of byte-level payload dedup: each digest row's
     (n_copies, keeper) equals a pure-Python hashlib recompute from the codec

@@ -258,6 +258,64 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# composed audio/video curation gates (the audio/video twins of image_curate,
+# closing the per-payload VERDICT across all three modalities): thresholds
+# over the single-decode feature stage. Chosen so every content gate fires on
+# this corpus (audio 24/29/12 of 200; video 14/36/9 of 100); the decode gates
+# guard the same except-path the extractors already count.
+AUDIO_MIN_S = 0.08          # too_short: clips under 80 ms
+AUDIO_CLIP_FRAC_T = 0.018   # clipped: > 1.8% of samples at int16 full scale
+AUDIO_RMS_MIN = 18700.0     # quiet: int16 RMS floor
+VIDEO_MIN_S = 0.5           # too_short: clips under half a second
+VIDEO_MIN_FPS = 12          # low_fps: slideshow-rate containers
+VIDEO_MOTION_MIN = 47.5     # static: mean inter-frame delta floor
+
+
+def audio_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip keep/drop curation verdict — the audio twin of `image_curate`:
+    decode/reference-integrity gates from the single-decode feature stage,
+    then duration, clipping-ratio, and loudness gates with drop-reason
+    precedence. ONE decode pass (Arrow mapInPandas), the verdict itself is a
+    map-only projection — zero shuffles, so at 10^10 clips the plan stays
+    embarrassingly parallel. Real loudness/quality models swap into the same
+    plan shape (score column in, thresholds unchanged)."""
+    feats = _audios(spark, sf_dir).mapInPandas(extract_audio, AUDIO_FEATURES_SCHEMA)
+    clip_frac = F.col("n_clipped").cast("double") / F.col("n_samples").cast("double")
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("decode_failed"))
+        .when(~F.col("samples_ok"), F.lit("samples_mismatch"))
+        .when(F.col("duration_s") < AUDIO_MIN_S, F.lit("too_short"))
+        .when(clip_frac > AUDIO_CLIP_FRAC_T, F.lit("clipped"))
+        .when(F.col("rms") < AUDIO_RMS_MIN, F.lit("quiet"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        feats.select("audio_id", "fmt", "duration_s", reason.alias("drop_reason"))
+        .withColumn("keep", F.col("drop_reason") == "kept")
+    )
+
+
+def video_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip keep/drop curation verdict — the video twin of `image_curate`:
+    container/frame-integrity gates from the frame-SAMPLED feature stage
+    (never a full decode), then duration, frame-rate, and motion gates with
+    drop-reason precedence. Map-only after the sampling pass — zero
+    shuffles."""
+    feats = _videos(spark, sf_dir).mapInPandas(extract_video, VIDEO_FEATURES_SCHEMA)
+    reason = (
+        F.when(~F.col("decode_ok"), F.lit("decode_failed"))
+        .when(~F.col("frames_ok"), F.lit("frames_mismatch"))
+        .when(F.col("duration_s") < VIDEO_MIN_S, F.lit("too_short"))
+        .when(F.col("fps") < VIDEO_MIN_FPS, F.lit("low_fps"))
+        .when(F.col("motion") < VIDEO_MOTION_MIN, F.lit("static"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        feats.select("video_id", "fmt", "fps", "duration_s", reason.alias("drop_reason"))
+        .withColumn("keep", F.col("drop_reason") == "kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # image near-dup: bucketed Hamming join over the phash metadata column
 # ---------------------------------------------------------------------------
@@ -976,6 +1034,52 @@ SELECT fmt, count(*) AS n_videos,
        max(motion) AS max_motion
 FROM sel JOIN expected USING (video_id)
 GROUP BY fmt ORDER BY fmt
+"""
+
+# curate oracles: the per-clip features come from the driver-side pure-Python
+# codec path (independent of Spark/Arrow), and the GATE LOGIC is re-stated in
+# SQL — so the verdict precedence itself is cross-checked in two engines.
+SQL_AUDIO_CURATE = f"""
+WITH expected(audio_id, fmt, sr, n_samples, decode_ok, samples_ok, duration_s,
+              rms, peak, n_clipped, zero_crossings) AS (
+  VALUES {_values(_expected_audio_metrics())}
+),
+sel AS (SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS audio_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_AUDIO})),
+v AS (
+  SELECT e.audio_id, e.fmt, e.duration_s,
+         CASE WHEN e.decode_ok = 0 THEN 'decode_failed'
+              WHEN e.samples_ok = 0 THEN 'samples_mismatch'
+              WHEN e.duration_s < {AUDIO_MIN_S} THEN 'too_short'
+              WHEN CAST(e.n_clipped AS DOUBLE) / CAST(e.n_samples AS DOUBLE)
+                   > {AUDIO_CLIP_FRAC_T} THEN 'clipped'
+              WHEN e.rms < {AUDIO_RMS_MIN} THEN 'quiet'
+              ELSE 'kept' END AS drop_reason
+  FROM sel JOIN expected e USING (audio_id)
+)
+SELECT audio_id, fmt, duration_s, drop_reason, (drop_reason = 'kept') AS keep
+FROM v
+"""
+
+SQL_VIDEO_CURATE = f"""
+WITH expected(video_id, fmt, fps, n_frames, n_sampled, decode_ok, frames_ok,
+              duration_s, brightness, motion) AS (
+  VALUES {_values(_expected_video_metrics())}
+),
+sel AS (SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS video_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_VIDEO})),
+v AS (
+  SELECT e.video_id, e.fmt, e.fps, e.duration_s,
+         CASE WHEN e.decode_ok = 0 THEN 'decode_failed'
+              WHEN e.frames_ok = 0 THEN 'frames_mismatch'
+              WHEN e.duration_s < {VIDEO_MIN_S} THEN 'too_short'
+              WHEN e.fps < {VIDEO_MIN_FPS} THEN 'low_fps'
+              WHEN e.motion < {VIDEO_MOTION_MIN} THEN 'static'
+              ELSE 'kept' END AS drop_reason
+  FROM sel JOIN expected e USING (video_id)
+)
+SELECT video_id, fmt, fps, duration_s, drop_reason, (drop_reason = 'kept') AS keep
+FROM v
 """
 
 
@@ -2048,6 +2152,8 @@ LOCAL_QUERIES = {
     "corpus_multimodal_pipeline": corpus_multimodal_pipeline,
     "image_dedup_clusters": image_dedup_clusters,
     "image_curate": image_curate,
+    "audio_curate": audio_curate,
+    "video_curate": video_curate,
     "image_thumbnail": image_thumbnail,
     "image_caption_align": image_caption_align,
     "image_shard_pack": image_shard_pack,
@@ -2074,6 +2180,8 @@ LOCAL_ORACLES = {
         variant_every=VARIANT_EVERY,
         neardup=_SQL_NEARDUP_FLAT,
     ),
+    "audio_curate": SQL_AUDIO_CURATE,
+    "video_curate": SQL_VIDEO_CURATE,
     "image_thumbnail": SQL_IMAGE_THUMBNAIL.format(
         values=_values(_expected_thumbs()), img_sel=_img_sel(N_IMAGES)
     ),
