@@ -74,6 +74,21 @@ def _cpu_snap(cpus: int) -> tuple[int, int]:
     return steal, total
 
 
+def _triad_pinned(cpus: int, workers: int) -> float:
+    """STREAM-triad aggregate GB/s with the workers pinned to the same cores
+    the leg runs on — the measured roofline the leg's per-core throughput is
+    judged against (canary.py docstring has the knee argument)."""
+    code = (
+        f"import sys; sys.path.insert(0, {os.path.join(REPO, 'scripts')!r}); "
+        f"from canary import triad_gbps; print(triad_gbps({workers}))"
+    )
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300,
+    )
+    return float(out.stdout.strip().splitlines()[-1])
+
+
 def run_level(cpus: int, urls: int, budget: int | None) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, base_pages=max(64, urls // 8),
                         max_pages=urls, budget=budget)
@@ -83,6 +98,8 @@ def run_level(cpus: int, urls: int, budget: int | None) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
     from canary import canary_sec
     c0 = canary_sec()
+    bw1 = _triad_pinned(cpus, 1)
+    bwn = _triad_pinned(cpus, cpus)
     s0, t0 = _cpu_snap(cpus)
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     s1, t1 = _cpu_snap(cpus)
@@ -96,6 +113,8 @@ def run_level(cpus: int, urls: int, budget: int | None) -> dict:
             r = json.loads(line[len("RESULT "):])
             r["steal_pct"] = steal_pct
             r["canary_sec"] = c0  # same-window single-core speed (see canary.py)
+            r["triad_gbps_1w"] = bw1  # same-window DRAM bandwidth, 1 worker
+            r["triad_gbps_nw"] = bwn  # ... and at this leg's full core count
             return r
     raise RuntimeError(f"local[{cpus}] run failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
