@@ -99,6 +99,29 @@ def test_engine_cuckoo_prefilter_changes_nothing(spark, tmp_path, golden):
     assert_matches_oracle(spark, run, golden)
 
 
+def test_engine_tuning_alternate_branches_change_nothing(spark, tmp_path, golden):
+    """Force every tuning-gated scale branch the defaults never hit at test
+    size — two-phase range rank (small_rank_threshold=0), non-broadcast
+    AQE-planned watermark join (wm_broadcast_max_hosts=0), 8-row fetch tasks,
+    and a floor-sized bloom — and require bit-identical results. Sizing knobs
+    may only ever cost time, never change the crawl (config.EngineTuning)."""
+    from web_crawler_spark.config import EngineTuning
+
+    t = EngineTuning(rows_per_partition=8, small_rank_threshold=0,
+                     wm_broadcast_max_hosts=0, bloom_capacity_factor=1)
+    run = run_engine(spark, tmp_path, use_bloom=True, tuning=t)
+    assert_matches_oracle(spark, run, golden)
+    job = JobConfig(job_id=4, start_url="http://site0.test/p/0",
+                    max_pages=40, max_depth=3, delay=0.0)
+    ph = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "ph"),
+                      budget=3, politeness_mode="per_host", tuning=t)
+    ref = engine.crawl(spark, job, CFG, RULES, str(tmp_path / "ref"),
+                       budget=3, politeness_mode="per_host")
+    a = [(r["seq"], r["url"]) for r in ph.read(spark, "seen").orderBy("seq").collect()]
+    b = [(r["seq"], r["url"]) for r in ref.read(spark, "seen").orderBy("seq").collect()]
+    assert a == b and a
+
+
 def test_engine_page_cap_exact(spark, tmp_path):
     job = JobConfig(job_id=2, start_url="http://site0.test/p/0", max_pages=5, max_depth=4, delay=0.0)
     res = oracle.simulate(job, CFG, RULES)

@@ -42,7 +42,7 @@ Scale design (the 10^10-frontier story):
   per-host consumption is a contiguous per-host seq prefix by construction).
   The driver holds zero per-host state — watermark maintenance is a
   distributed agg + append, and the pending filter joins the aggregated
-  table (broadcast below WM_BROADCAST_MAX_HOSTS, AQE-planned above).
+  table (broadcast below tuning.wm_broadcast_max_hosts, AQE-planned above).
 - politeness is a virtual-clock budget (the reference sleeps ``delay`` seconds
   between requests, crawler.py:637-638 ⇒ ≤ round_seconds/delay fetches per
   round), so ordering is timing-independent and reproducible.
@@ -82,7 +82,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import RunState, SnapshotTable
-from .config import JobConfig
+from .config import DEFAULT_TUNING, EngineTuning, JobConfig
 from .core.robots import RulesByHost
 from .core.webgen import WebConfig
 from .functions import udfs
@@ -106,21 +106,9 @@ HOST_WM_SCHEMA = T.StructType(
         T.StructField("wm", T.LongType(), False),
     ]
 )
-# below this many seen URLs (an upper bound on distinct hosts) the aggregated
-# watermark side is broadcast into the pending filter; above it the join is
-# left un-hinted so AQE picks a shuffle strategy — the watermark table is
-# O(hosts) and must never be forced through a broadcast at open-web scale
-WM_BROADCAST_MAX_HOSTS = 1_000_000
-
-# below this many fresh candidates, a single-partition window rank is cheaper
-# than the two-phase range rank (3 jobs → 1); well within one executor's memory
-SMALL_RANK_THRESHOLD = 65_536
-# fetch-stage task sizing: the fetch+parse stage is the Python-heavy one, so
-# a round should fan out to all cores well before it reaches P_max·this many
-# rows. 2048 starved the widest rounds of a 20k-URL crawl down to ~6 of 32
-# cores (WCS_TRACE round trace); 512 keeps tasks big enough to amortize task
-# launch while saturating the executor at realistic round widths.
-ROWS_PER_PARTITION = 512
+# All sizing knobs (fetch-task rows, small-rank cutover, watermark broadcast
+# gate, bloom capacity/precision) live in config.EngineTuning — one derived
+# place, overridable per job via ``crawl(tuning=...)``.
 
 
 @dataclass
@@ -317,21 +305,24 @@ def _host_wm_agg(
 
 
 def _apply_host_watermarks(
-    adm: DataFrame, wm_agg: Optional[DataFrame], approx_hosts: int
+    adm: DataFrame,
+    wm_agg: Optional[DataFrame],
+    approx_hosts: int,
+    tuning: EngineTuning = DEFAULT_TUNING,
 ) -> DataFrame:
     """Per-host pending derivation: pending = admissions rows whose seq lies
     beyond their host's consumed watermark. Within a host, scheduling always
     consumes the lowest pending seqs first, so the consumed set is a contiguous
     per-host seq prefix and one long per host describes it exactly. The
     watermark side is O(active hosts) and lives in the host_wm snapshot table
-    — NOT on the driver; below WM_BROADCAST_MAX_HOSTS (gated on the seen
-    count, an upper bound on distinct hosts) it is broadcast, above that the
-    join is un-hinted and AQE picks the exchange. Frontier I/O stays zero —
-    admissions are append-only and the filter is parquet-stat-prunable on
-    seq."""
+    — NOT on the driver; below ``tuning.wm_broadcast_max_hosts`` (gated on
+    the seen count, an upper bound on distinct hosts) it is broadcast, above
+    that the join is un-hinted and AQE picks the exchange. Frontier I/O stays
+    zero — admissions are append-only and the filter is parquet-stat-prunable
+    on seq."""
     if wm_agg is None:
         return adm
-    right = F.broadcast(wm_agg) if approx_hosts <= WM_BROADCAST_MAX_HOSTS else wm_agg
+    right = F.broadcast(wm_agg) if approx_hosts <= tuning.wm_broadcast_max_hosts else wm_agg
     return (
         adm.join(right, "host", "left")
         .filter(F.col("seq") > F.coalesce(F.col("_wm"), F.lit(-1)))
@@ -365,6 +356,7 @@ def crawl(
     max_rounds: int = 10_000,
     fetch_partitions: Optional[int] = None,
     compact_every: Optional[int] = None,
+    tuning: EngineTuning = DEFAULT_TUNING,
 ) -> CrawlRun:
     """Run (or resume) a crawl job to fixpoint. See module docstring."""
     job.validate()
@@ -458,14 +450,15 @@ def crawl(
             pending = adm.filter(F.col("seq") >= lo)
         else:
             wm_agg = _host_wm_agg(spark, tables["host_wm"])
-            pending = _apply_host_watermarks(adm, wm_agg, seen_count)
+            pending = _apply_host_watermarks(adm, wm_agg, seen_count, tuning)
         # size the fetch stage on what will actually be SCHEDULED this round,
         # not the whole pending frontier (with a small budget the two differ
         # by orders of magnitude)
         est = pending_count
         if budget is not None and politeness_mode == "global":
             est = min(pending_count, budget)
-        P = min(P_max, max(1, (est + ROWS_PER_PARTITION - 1) // ROWS_PER_PARTITION))
+        rpp = tuning.rows_per_partition
+        P = min(P_max, max(1, (est + rpp - 1) // rpp))
 
         # ---- politeness selection (FIFO chunk or per-host quota) ----------
         if budget is None:
@@ -549,7 +542,7 @@ def crawl(
                     # resume: the restored seen table) — build once, sized for
                     # the job's admission ceiling so the same bitmap serves
                     # every round and additions are incremental
-                    bloom_state = _build_bloom(seen_df, job.max_pages)
+                    bloom_state = _build_bloom(seen_df, job.max_pages, tuning)
                 if bloom_bcast is not None:
                     bloom_bcast.unpersist(blocking=False)
                 bloom_bcast = spark.sparkContext.broadcast(bloom_state.to_bytes())
@@ -599,7 +592,7 @@ def crawl(
             n_new = new_urls.count()
             tm.mark("fresh_count")
             if n_new > 0:
-                if n_new <= SMALL_RANK_THRESHOLD:
+                if n_new <= tuning.small_rank_threshold:
                     # deliberate single-reducer rank for small rounds (3 jobs
                     # → 1): one coalesced partition, sort inside it, number
                     # rows in iterator order. No WindowExec at all — ids in a
@@ -728,15 +721,22 @@ def _cuckoo_flag(fresh: DataFrame, seen_df: DataFrame) -> DataFrame:
     )
 
 
-def _build_bloom(seen_df: DataFrame, capacity_keys: int) -> BloomFilter64:
+def _build_bloom(
+    seen_df: DataFrame, capacity_keys: int, tuning: EngineTuning = DEFAULT_TUNING
+) -> BloomFilter64:
     """2-phase bloom build: per-partition numpy bitmaps via mapInPandas,
     OR-reduced on the driver. Bitmap size is O(capacity), independent of
     partition count. Sized for *capacity_keys* — pass the job's admission
     ceiling (max_pages) so the same bitmap serves the whole crawl and rounds
     can OR new keys in INCREMENTALLY (`_bloom_add_df`) instead of rescanning
-    the full seen table every round."""
-    capacity = max(1024, capacity_keys * 2)
-    out = BloomFilter64(capacity)
+    the full seen table every round. Capacity and precision come from
+    ``tuning`` (``EngineTuning.bloom_capacity`` and the bits/key + probe
+    count), not ad-hoc constants."""
+    out = BloomFilter64(
+        tuning.bloom_capacity(capacity_keys),
+        bits_per_key=tuning.bloom_bits_per_key,
+        k=tuning.bloom_k,
+    )
     _bloom_add_df(out, seen_df)
     return out
 
