@@ -208,6 +208,79 @@ def test_image_phash_neardup_finds_planted_pairs(spark):
         assert bin((pa ^ pb) & ((1 << 64) - 1)).count("1") == ham
 
 
+def test_audio_fingerprint_properties():
+    """Gain invariance + locality of the acoustic fingerprint, and the
+    planted-variant contract: variants within AFP_HAMMING_T, unrelated
+    clips far beyond it."""
+    import numpy as np
+
+    from web_crawler_spark.core import audiocodec
+
+    s = audiocodec.reference_samples("aud-fp", 3000)
+    fp = audiocodec.fingerprint64(s)
+    assert audiocodec.fingerprint64(s.astype(np.int32) * 3) == fp  # global gain: invariant
+    for i in (0, 4, 8, 40):
+        base = audiocodec.audio_row(f"aud-{i}", seed=42)
+        var = audiocodec.variant_row(f"aud-{i}", seed=42)
+        assert var["audio_id"] == f"aud-{i}-v"
+        assert (var["sr"], var["n_samples"]) == (base["sr"], base["n_samples"])
+        d = bin(
+            (audiocodec.fingerprint_of(base["bytes"]) ^ audiocodec.fingerprint_of(var["bytes"]))
+            & ((1 << 64) - 1)
+        ).count("1")
+        assert d <= 6  # AFP_HAMMING_T
+    a = audiocodec.fingerprint_of(audiocodec.audio_row("aud-0", seed=42)["bytes"])
+    b = audiocodec.fingerprint_of(audiocodec.audio_row("aud-1", seed=42)["bytes"])
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 12  # unrelated: far apart
+
+
+def test_video_vhash_properties():
+    """Temporal-phash locality: variants (quadrant brightness wobble) within
+    VID_HAMMING_T, unrelated clips far beyond; global brightness shift on
+    every frame is exactly invariant (phash thresholds on the global mean)."""
+    from web_crawler_spark.core import videocodec
+
+    for i in (0, 4, 8, 40):
+        base = videocodec.video_row(f"vid-{i}", seed=42)
+        var = videocodec.variant_row(f"vid-{i}", seed=42)
+        assert var["video_id"] == f"vid-{i}-v"
+        assert (var["w"], var["h"], var["n_frames"]) == (base["w"], base["h"], base["n_frames"])
+        d = bin(
+            (videocodec.vhash64(base["bytes"]) ^ videocodec.vhash64(var["bytes"]))
+            & ((1 << 64) - 1)
+        ).count("1")
+        assert d <= 6  # VID_HAMMING_T
+    a = videocodec.vhash64(videocodec.video_row("vid-0", seed=42)["bytes"])
+    b = videocodec.vhash64(videocodec.video_row("vid-1", seed=42)["bytes"])
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") > 12
+
+
+def test_av_neardup_find_planted_pairs(spark):
+    """The distributed audio/video near-dup queries find exactly the planted
+    (base, variant) pairs at sf0.001, with hamming agreeing with the
+    pure-python codec (third execution path)."""
+    from web_crawler_spark.analytics import multimodal
+    from web_crawler_spark.core import audiocodec, videocodec
+
+    rows = multimodal.audio_fingerprint_neardup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["aud_a"], r["aud_b"]): r["hamming"] for r in rows}
+    assert pairs, "no audio near-dup pairs found"
+    for (a, b), ham in pairs.items():
+        assert b == a + "-v"
+        fa = audiocodec.fingerprint_of(audiocodec.audio_row(a, seed=42)["bytes"])
+        fb = audiocodec.fingerprint_of(audiocodec.variant_row(a, seed=42)["bytes"])
+        assert bin((fa ^ fb) & ((1 << 64) - 1)).count("1") == ham
+
+    rows = multimodal.video_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+    vpairs = {(r["vid_a"], r["vid_b"]): r["hamming"] for r in rows}
+    assert vpairs, "no video near-dup pairs found"
+    for (a, b), ham in vpairs.items():
+        assert b == a + "-v"
+        fa = videocodec.vhash64(videocodec.video_row(a, seed=42)["bytes"])
+        fb = videocodec.vhash64(videocodec.variant_row(a, seed=42)["bytes"])
+        assert bin((fa ^ fb) & ((1 << 64) - 1)).count("1") == ham
+
+
 def test_imagecodec_ocr_plant_extract_roundtrip():
     import numpy as np
     import pytest

@@ -353,6 +353,36 @@ def _pair_blocks(df: DataFrame, idcol: str, phcol: str, keep: tuple = ()) -> Dat
     )
 
 
+def _hamming_pairs(
+    sig: DataFrame, idcol: str, hcol: str, a: str, b: str, t: int
+) -> DataFrame:
+    """Block-bucketed Hamming-join core shared by the image/audio/video
+    near-dup tiers: every 64-bit signature is indexed by its 28 byte-pair
+    16-bit keys (`_pair_blocks`; pigeonhole-complete for Hamming <= 6), the
+    block self-join yields candidates, and the exact bit_count(xor) verify
+    runs on candidates only. All flat codegen expressions, one shuffle for
+    the block self-join — the shape that survives 10^10 rows because bucket
+    sizes are set by the 16-bit key width, not the corpus."""
+    sig = sig.localCheckpoint(eager=True)  # feeds blocks + both pair sides once
+    blocks = _pair_blocks(sig, idcol, hcol)
+    cand = (
+        blocks.select(F.col(idcol).alias(a), "k", "blk")
+        .join(blocks.select(F.col(idcol).alias(b), "k", "blk"), ["k", "blk"])
+        .filter(F.col(a) < F.col(b))
+        .select(a, b)
+        .distinct()
+    )
+    sa = sig.select(F.col(idcol).alias(a), F.col(hcol).alias("_ha"))
+    sb = sig.select(F.col(idcol).alias(b), F.col(hcol).alias("_hb"))
+    return (
+        cand.join(sa, a)
+        .join(sb, b)
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"))
+        .filter(F.col("hamming") <= t)
+        .select(a, b, "hamming")
+    )
+
+
 def _images_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Images table plus planted near-duplicate variants (``img-{id}-v`` with
     perturbed pixels) so phash dedup has genuine near-dup structure to find."""
@@ -383,27 +413,100 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see identical pairs); the exact bit_count(xor) verify runs on
     candidates only. All flat codegen expressions, one shuffle for the
     block self-join."""
-    sig = (
-        _images_with_variants(spark, sf_dir)
-        .select("image_id", "phash")
-        .localCheckpoint(eager=True)  # feeds blocks + both pair sides once
+    sig = _images_with_variants(spark, sf_dir).select("image_id", "phash")
+    return _hamming_pairs(sig, "image_id", "phash", "img_a", "img_b", IMG_HAMMING_T)
+
+
+# ---------------------------------------------------------------------------
+# audio / video near-dup: the same bucketed Hamming join over per-modality
+# 64-bit ingest fingerprints (closing the dedup tier across all three
+# payload modalities, like audio_curate/video_curate closed curation)
+# ---------------------------------------------------------------------------
+
+AFP_HAMMING_T = 6  # acoustic-fingerprint near-dup threshold (28-block complete)
+VID_HAMMING_T = 6  # temporal-phash near-dup threshold
+
+_AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ]
+)
+_VFP_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("vhash", T.LongType(), False),
+    ]
+)
+
+
+def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(audio_id, afp) signature table for base clips + planted near-dup
+    variants (every VARIANT_EVERY'th base gets an ``{id}-v`` with perturbed
+    samples — audiocodec.variant_row). This is the ingest-time fingerprint
+    step inlined (the sandbox AUDIO_SCHEMA carries no afp column the way the
+    input_hint images table carries phash): ONE decode per clip here, and
+    the dedup plan downstream is metadata-only — it never touches bytes."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_AUDIO)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                aid = f"aud-{doc_id}"
+                rows.append((aid, audiocodec.fingerprint_of(audiocodec.audio_row(aid, seed=42)["bytes"])))
+                if int(doc_id) % VARIANT_EVERY == 0:
+                    v = audiocodec.variant_row(aid, seed=42)
+                    rows.append((v["audio_id"], audiocodec.fingerprint_of(v["bytes"])))
+            yield pd.DataFrame(rows, columns=["audio_id", "afp"])
+
+    return ids.repartition(_gen_partitions(spark, N_AUDIO), "doc_id").mapInPandas(gen, _AFP_SCHEMA)
+
+
+def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(video_id, vhash) signature table for base clips + planted variants
+    (videocodec.variant_row: quadrant brightness wobble). vhash is the
+    temporal-mean phash of the SAMPLED frames — the fingerprint costs the
+    same O(N_SAMPLE) partial decode the feature pass already pays at ingest;
+    the dedup plan downstream never decodes anything."""
+    ids = table(spark, sf_dir, "documents").select("doc_id").orderBy("doc_id").limit(N_VIDEO)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                vid = f"vid-{doc_id}"
+                rows.append((vid, videocodec.vhash64(videocodec.video_row(vid, seed=42)["bytes"])))
+                if int(doc_id) % VARIANT_EVERY == 0:
+                    v = videocodec.variant_row(vid, seed=42)
+                    rows.append((v["video_id"], videocodec.vhash64(v["bytes"])))
+            yield pd.DataFrame(rows, columns=["video_id", "vhash"])
+
+    return ids.repartition(_gen_partitions(spark, N_VIDEO), "doc_id").mapInPandas(gen, _VFP_SCHEMA)
+
+
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs by acoustic-fingerprint Hamming distance —
+    the audio twin of `image_phash_neardup`, found the way a 10^10-clip
+    corpus has to: the 64-bit energy-contour fingerprint (ingest metadata,
+    one decode in `_audio_fingerprints`) is indexed by all 28 byte-pair
+    16-bit keys; the exact bit_count(xor) verify runs on candidates only.
+    Planted variants sit at Hamming 0-6 of their base (measured), unrelated
+    white-noise clips at >= 22 — the threshold separates them exactly."""
+    return _hamming_pairs(
+        _audio_fingerprints(spark, sf_dir), "audio_id", "afp", "aud_a", "aud_b", AFP_HAMMING_T
     )
-    blocks = _pair_blocks(sig, "image_id", "phash")
-    cand = (
-        blocks.select(F.col("image_id").alias("img_a"), "k", "blk")
-        .join(blocks.select(F.col("image_id").alias("img_b"), "k", "blk"), ["k", "blk"])
-        .filter(F.col("img_a") < F.col("img_b"))
-        .select("img_a", "img_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("image_id").alias("img_a"), F.col("phash").alias("ph_a"))
-    sb = sig.select(F.col("image_id").alias("img_b"), F.col("phash").alias("ph_b"))
-    return (
-        cand.join(sa, "img_a")
-        .join(sb, "img_b")
-        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("int"))
-        .filter(F.col("hamming") <= IMG_HAMMING_T)
-        .select("img_a", "img_b", "hamming")
+
+
+def video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by temporal-phash Hamming distance — the
+    video twin of `image_phash_neardup`. The 64-bit vhash (temporal-mean
+    phash over sampled frames, ingest metadata) goes through the same
+    28-byte-pair block index + candidate-only exact verify; re-encoded /
+    brightness-wobbled variants sit at Hamming 0-5 of their base (measured),
+    unrelated clips at >= 22."""
+    return _hamming_pairs(
+        _video_fingerprints(spark, sf_dir), "video_id", "vhash", "vid_a", "vid_b", VID_HAMMING_T
     )
 
 
@@ -804,6 +907,76 @@ def _expected_phashes() -> list[tuple]:
             v = imagecodec.variant_row(iid, seed=42)
             out.append((v["image_id"], v["phash"]))
     return out
+
+
+def _expected_afps() -> list[tuple]:
+    """Driver-side (audio_id, fingerprint) ground truth for base + variant
+    clips — same pure-Python codec path as the executors, decoded bytes in."""
+    out = []
+    for i in range(N_AUDIO):
+        aid = f"aud-{i}"
+        out.append((aid, audiocodec.fingerprint_of(audiocodec.audio_row(aid, seed=42)["bytes"])))
+        if i % VARIANT_EVERY == 0:
+            v = audiocodec.variant_row(aid, seed=42)
+            out.append((v["audio_id"], audiocodec.fingerprint_of(v["bytes"])))
+    return out
+
+
+def _expected_vhashes() -> list[tuple]:
+    """Driver-side (video_id, vhash) ground truth for base + variant clips."""
+    out = []
+    for i in range(N_VIDEO):
+        vid = f"vid-{i}"
+        out.append((vid, videocodec.vhash64(videocodec.video_row(vid, seed=42)["bytes"])))
+        if i % VARIANT_EVERY == 0:
+            v = videocodec.variant_row(vid, seed=42)
+            out.append((v["video_id"], videocodec.vhash64(v["bytes"])))
+    return out
+
+
+def _sql_av_neardup(rows: list[tuple], prefix: str, n: int, a: str, b: str, t: int) -> str:
+    """Near-dup oracle for a (id, 64-bit fingerprint) modality: the expected
+    fingerprints (driver-side pure-Python codec) are inlined as VALUES and
+    joined against the actual documents id prefix (an id drift fails loudly);
+    the SQL then mirrors the SAME 28-byte-pair candidate rule + exact
+    bit_count verify as `_hamming_pairs`, so both engines see identical
+    pairs by construction."""
+    u64 = (
+        "(CAST(fp AS HUGEINT) + CASE WHEN fp < 0 "
+        "THEN CAST(18446744073709551616 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+    )
+    return f"""
+WITH expected(id, fp) AS (
+  VALUES {_values(rows)}
+),
+sel AS (SELECT '{prefix}-' || CAST(doc_id AS VARCHAR) AS id, doc_id
+        FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n})),
+ids AS (
+  SELECT id FROM sel
+  UNION ALL
+  SELECT id || '-v' FROM sel WHERE doc_id % {VARIANT_EVERY} = 0
+),
+fp AS (SELECT id, fp FROM ids JOIN expected USING (id)),
+blk AS (
+  SELECT id, i * 8 + j AS k,
+         CAST((({u64} // (CAST(1 AS HUGEINT) << (8 * i))) % 256) * 256
+            + (({u64} // (CAST(1 AS HUGEINT) << (8 * j))) % 256) AS BIGINT) AS blk
+  FROM fp, (SELECT i, j
+            FROM (SELECT unnest(generate_series(0, 7)) AS i),
+                 (SELECT unnest(generate_series(0, 7)) AS j)
+            WHERE i < j)
+),
+cand AS (
+  SELECT DISTINCT x.id AS ia, y.id AS ib
+  FROM blk x JOIN blk y ON x.k = y.k AND x.blk = y.blk AND x.id < y.id
+)
+SELECT c.ia AS {a}, c.ib AS {b},
+       CAST(bit_count(xor(pa.fp, pb.fp)) AS INT) AS hamming
+FROM cand c
+JOIN fp pa ON pa.id = c.ia
+JOIN fp pb ON pb.id = c.ib
+WHERE bit_count(xor(pa.fp, pb.fp)) <= {t}
+"""
 
 
 def _expected_thumbs() -> list[tuple]:
@@ -2154,6 +2327,8 @@ LOCAL_QUERIES = {
     "image_curate": image_curate,
     "audio_curate": audio_curate,
     "video_curate": video_curate,
+    "audio_fingerprint_neardup": audio_fingerprint_neardup,
+    "video_phash_neardup": video_phash_neardup,
     "image_thumbnail": image_thumbnail,
     "image_caption_align": image_caption_align,
     "image_shard_pack": image_shard_pack,
@@ -2169,6 +2344,12 @@ LOCAL_QUERIES = {
 }
 LOCAL_ORACLES = {
     "caption_hard_negatives": _sql_caption_hard_negatives(),
+    "audio_fingerprint_neardup": _sql_av_neardup(
+        _expected_afps(), "aud", N_AUDIO, "aud_a", "aud_b", AFP_HAMMING_T
+    ),
+    "video_phash_neardup": _sql_av_neardup(
+        _expected_vhashes(), "vid", N_VIDEO, "vid_a", "vid_b", VID_HAMMING_T
+    ),
     "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
         caption_status=_SQL_CAPTION_STATUS,
         align=_sql_caption_align().replace("\n", " "),

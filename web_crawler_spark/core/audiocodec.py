@@ -92,6 +92,60 @@ def features(samples: np.ndarray, sample_rate: int) -> dict:
     }
 
 
+def fingerprint64(samples: np.ndarray) -> int:
+    """64-bit acoustic fingerprint (chromaprint-shaped stand-in): the clip is
+    split into 64 equal windows; bit k = window-k mean |amplitude| > the
+    median of the 64 window means. Gain-INVARIANT by construction (a global
+    volume change scales every window mean and their median alike), while a
+    localized edit flips only the windows it touches — the energy-contour
+    shape real acoustic fingerprints (chromaprint/echoprint) share. Signed
+    int64 (Spark LongType); identical math on executors and the driver-side
+    oracle builder (float64 numpy throughout)."""
+    s = np.abs(samples.astype(np.float64))
+    means = np.array([w.mean() if len(w) else 0.0 for w in np.array_split(s, 64)])
+    med = float(np.median(means))
+    v = 0
+    for bit in means > med:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def fingerprint_of(data: bytes) -> int:
+    """Fingerprint of an encoded clip's DECODED samples — the uniform rule
+    both the ingest path and the oracle use, so lossy (pcm8) quantization
+    affects both sides identically."""
+    samples, _sr, _fmt = decode(data)
+    return fingerprint64(samples)
+
+
+def variant_samples(audio_id: str, n: int) -> np.ndarray:
+    """Near-duplicate perturbation of ``reference_samples``: a 3% global gain
+    cut (fingerprint-invariant by design — it proves the gain invariance)
+    plus a 10% boost on 2 of the 64 fingerprint windows. Measured fingerprint
+    Hamming distance from the base: 0-6 across the planted corpus (median 2),
+    vs >= 22 between unrelated clips."""
+    s = reference_samples(audio_id, n).astype(np.float64) * 0.97
+    bounds = np.linspace(0, n, 65).astype(int)
+    for t in range(2):
+        k = stable_hash64(7, f"aburst{t}", audio_id) % 64
+        s[bounds[k] : bounds[k + 1]] *= 1.10
+    return np.clip(np.rint(s), -32768, 32767).astype(np.int16)
+
+
+def variant_row(audio_id: str, seed: int = 42) -> dict:
+    """Audio-table row for the planted near-duplicate ``{audio_id}-v``:
+    same rate/length as the base, perturbed samples, lossless encode."""
+    base = audio_row(audio_id, seed=seed)
+    s = variant_samples(audio_id, base["n_samples"])
+    return {
+        "audio_id": audio_id + "-v",
+        "bytes": encode(s, base["sr"], "pcm"),
+        "sr": base["sr"],
+        "n_samples": base["n_samples"],
+        "fmt": "pcm",
+    }
+
+
 def audio_row(audio_id: str, seed: int = 42) -> dict:
     """Deterministic full audio-table row for *audio_id*."""
     sr = (8000, 16000, 22050)[stable_hash64(seed, "asr", audio_id) % 3]

@@ -152,6 +152,49 @@ def frames_ok(video_id: str, data: bytes) -> bool:
     return True
 
 
+def vhash64(data: bytes) -> int:
+    """64-bit temporal perceptual hash: :func:`imagecodec.phash64` of the
+    temporal MEAN of the sampled frames. Frame-sampled like :func:`features`
+    — never decodes the full clip — so computing it at ingest costs the same
+    O(N_SAMPLE) decode the feature pass already pays. Per-frame noise and
+    re-encoding average out of the temporal mean; a localized content edit
+    flips only the blocks it covers. Identical math on executors and the
+    driver-side oracle builder."""
+    fmt, fps, n_frames, w, h = read_header(data)
+    idx = sample_indices(n_frames)
+    frames = decode_frames(data, idx)
+    mean_px = np.mean([frames[i].astype(np.float64) for i in idx], axis=0)
+    return imagecodec.phash64(np.clip(np.rint(mean_px), 0, 255).astype(np.uint8))
+
+
+def variant_row(video_id: str, seed: int = 42) -> dict:
+    """Video-table row for the planted near-duplicate ``{video_id}-v``: the
+    BASE clip's frames with a +3 brightness wobble on one deterministic
+    QUADRANT per frame (a global brightness shift would be exactly
+    phash-invariant — the wobble must be spatial to flip any bits), frames
+    re-encoded lossless. Measured vhash Hamming distance from the base: 0-5
+    across the planted corpus, vs >= 22 between unrelated clips."""
+    base = video_row(video_id, seed=seed)
+    w, h, fps, n = base["w"], base["h"], base["fps"], base["n_frames"]
+    parts = [MAGIC + struct.pack(_HDR, _FMT_CODES["png"], fps, n, w, h)]
+    for i in range(n):
+        px = frame_pixels(video_id, i, w, h).astype(np.int16)
+        qx = stable_hash64(7, f"vq{i}", video_id) % 2
+        qy = stable_hash64(7, f"vr{i}", video_id) % 2
+        px[qy * (h // 2) : (qy + 1) * (h // 2), qx * (w // 2) : (qx + 1) * (w // 2)] += 3
+        blob = imagecodec.encode(np.clip(px, 0, 255).astype(np.uint8), "png")
+        parts.append(struct.pack("<I", len(blob)) + blob)
+    return {
+        "video_id": video_id + "-v",
+        "bytes": b"".join(parts),
+        "w": w,
+        "h": h,
+        "fps": fps,
+        "n_frames": n,
+        "fmt": "png",
+    }
+
+
 def video_row(video_id: str, seed: int = 42) -> dict:
     """Deterministic full video-table row for *video_id*."""
     w = 16 + stable_hash64(seed, "vw", video_id) % 17  # 16..32
