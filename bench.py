@@ -78,6 +78,12 @@ HEADLINE = [
     "span_dedup",
     "text_lm_score",
     "caption_hard_negatives",
+    # round-4 additions: audio/video composed curation verdicts + 64-bit
+    # fingerprint near-dup for all three payload modalities
+    "audio_curate",
+    "video_curate",
+    "audio_fingerprint_neardup",
+    "video_phash_neardup",
 ]
 
 

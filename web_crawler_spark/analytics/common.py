@@ -6,8 +6,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# JIT-able generated code
+# -----------------------
+# Spark only abandons a whole-stage-codegen method when its compiled size
+# exceeds spark.sql.codegen.hugeMethodLimit (default 65535 B) — but HotSpot
+# refuses to JIT any method over 8000 B of bytecode (-XX:-DontCompileHugeMethods
+# is never set on real clusters), so a fused method between those two limits
+# runs as INTERPRETED BYTECODE forever.  The 64-term _flat_dot expressions
+# (similarity.py) cross that line once they are fused into a join stage:
+# measured at sf0.1, the semdedup cell-join sim projection ran 4.5 s over
+# 250k pairs with the default limit and 0.04 s with the limit at 8000
+# (Spark then splits the stage into per-operator projections, each small
+# enough to JIT) — a 100x cliff invisible to `.explain`, which shows the
+# same WholeStageCodegen plan either way.  Results are bit-identical: only
+# the execution strategy changes, never the expression tree.
+_HUGE_METHOD_LIMIT = "8000"
+
+
+def ensure_jitable_codegen(spark: SparkSession) -> None:
+    """Cap codegen method size at HotSpot's JIT ceiling (idempotent)."""
+    try:
+        cur = spark.conf.get("spark.sql.codegen.hugeMethodLimit")
+    except Exception:
+        cur = None
+    if cur != _HUGE_METHOD_LIMIT:
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", _HUGE_METHOD_LIMIT)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md)."""
+    ensure_jitable_codegen(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -37,6 +37,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # cap fused codegen methods at HotSpot's 8000-byte JIT ceiling —
+        # between 8000 and Spark's 65535 default a fused method runs as
+        # interpreted bytecode forever (measured 100x on the 64-term
+        # embedding dots; see analytics/common.ensure_jitable_codegen)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
