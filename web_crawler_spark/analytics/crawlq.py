@@ -83,7 +83,8 @@ def _expected_crawl_log() -> list[tuple]:
     ]
 
 
-SQL_CRAWL_BFS = f"""
+def _sql_crawl_bfs() -> str:
+    return f"""
 WITH expected(schedule_rank, url, depth, status_code, title,
               word_count, links_count, image_id) AS (
   VALUES {_values(_expected_crawl_log())}
@@ -99,5 +100,13 @@ SELECT CAST(schedule_rank AS BIGINT) AS schedule_rank,
 FROM expected ORDER BY schedule_rank
 """
 
+
 QUERIES = {"crawl_bfs": crawl_bfs}
-ORACLES: dict[str, str] = {"crawl_bfs": SQL_CRAWL_BFS}
+
+
+def __getattr__(name: str):
+    # lazy like multimodal's oracle maps: the simulator run that derives the
+    # VALUES oracle is driver-side work a fresh python worker must not pay
+    if name == "ORACLES":
+        return {"crawl_bfs": _sql_crawl_bfs()}
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

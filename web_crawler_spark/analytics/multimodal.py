@@ -28,6 +28,7 @@ ground truth.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import math
 import struct
@@ -715,6 +716,7 @@ def caption_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _sql_caption_hard_negatives() -> str:
     from .similarity import SQL_EMBED_IVF_ANN
 
@@ -897,6 +899,7 @@ ORDER BY c.image_id
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_phashes() -> list[tuple]:
     """Driver-side (image_id, phash) ground truth for base + variant images."""
     out = []
@@ -909,6 +912,7 @@ def _expected_phashes() -> list[tuple]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_afps() -> list[tuple]:
     """Driver-side (audio_id, fingerprint) ground truth for base + variant
     clips — same pure-Python codec path as the executors, decoded bytes in."""
@@ -922,6 +926,7 @@ def _expected_afps() -> list[tuple]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_vhashes() -> list[tuple]:
     """Driver-side (video_id, vhash) ground truth for base + variant clips."""
     out = []
@@ -979,6 +984,7 @@ WHERE bit_count(xor(pa.fp, pb.fp)) <= {t}
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_thumbs() -> list[tuple]:
     """Driver-side thumbnail ground truth — same codec path run pure-Python
     in-process, crc via zlib (vs Spark's JVM java.util.zip.CRC32: same
@@ -994,6 +1000,7 @@ def _expected_thumbs() -> list[tuple]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_dims() -> list[tuple]:
     """Driver-side (image_id, w, h) ground truth for base + variant images
     (a variant keeps its base's dimensions — imagecodec.variant_row)."""
@@ -1062,6 +1069,7 @@ def _values(rows: list[tuple]) -> str:
     return ",\n  ".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_image_metrics() -> list[tuple]:
     """Pure-Python expected per-image metrics, same semantics as
     udfs.decode_validate but computed in-process (the feature columns call
@@ -1092,6 +1100,7 @@ def _expected_image_metrics() -> list[tuple]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_audio_metrics() -> list[tuple]:
     out = []
     for i in range(N_AUDIO):
@@ -1113,6 +1122,7 @@ def _expected_audio_metrics() -> list[tuple]:
     return out
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_video_metrics() -> list[tuple]:
     out = []
     for i in range(N_VIDEO):
@@ -1139,34 +1149,21 @@ def _img_sel(n: int) -> str:
     )
 
 
-SQL_MULTIMODAL_VALIDATE = f"""
-WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
-  VALUES {_values(_expected_image_metrics())}
-),
-{_img_sel(N_IMAGES)}
-SELECT fmt, count(*) AS n_images,
-       CAST(sum(decode_ok) AS BIGINT) AS decode_pass,
-       CAST(sum(pixels_ok) AS BIGINT) AS pixels_pass,
-       CAST(sum(phash_ok) AS BIGINT) AS phash_pass,
-       CAST(sum(caption_ok) AS BIGINT) AS caption_pass,
-       min(coalesce(psnr_db, 99.0)) AS min_psnr_db
-FROM sel JOIN expected USING (image_id)
-GROUP BY fmt ORDER BY fmt
-"""
+# Oracle SQL for the modality queries embeds driver-side expected-metric
+# VALUES tables that cost ~2 s of payload simulation to build.  Every
+# builder below is therefore a lazy @lru_cache function, and the module
+# exposes ORACLES/LOCAL_ORACLES through __getattr__ (end of file): a fresh
+# PYTHON WORKER that unpickles any analytics UDF imports this module and
+# must NOT pay the oracle-building cost — Spark's idle-worker pool is a
+# round-robin FIFO, so with ~16 pooled workers an eager 2.4 s module import
+# was re-paid 16 times across the first 16 python tasks of every
+# payload-heavy session (measured: embed_semdedup 11.1 s in-suite vs 2.3 s
+# isolated at sf0.1, entirely worker cold-import).
 
-SQL_MULTIMODAL_FEATURES = f"""
-WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db) AS (
-  VALUES {_values(_expected_image_metrics())}
-),
-{_img_sel(N_IMAGES)}
-SELECT fmt, count(*) AS n_images,
-       CAST(sum(decode_ok) AS BIGINT) AS n_decoded,
-       min(w) AS min_w, max(w) AS max_w, min(h) AS min_h, max(h) AS max_h
-FROM sel JOIN expected USING (image_id)
-GROUP BY fmt ORDER BY fmt
-"""
 
-SQL_MULTIMODAL_AUDIO = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_multimodal_audio() -> str:
+    return f"""
 WITH expected(audio_id, fmt, sr, n_samples, decode_ok, samples_ok, duration_s,
               rms, peak, n_clipped, zero_crossings) AS (
   VALUES {_values(_expected_audio_metrics())}
@@ -1188,7 +1185,9 @@ GROUP BY fmt ORDER BY fmt
 """
 
 
-SQL_MULTIMODAL_VIDEO = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_multimodal_video() -> str:
+    return f"""
 WITH expected(video_id, fmt, fps, n_frames, n_sampled, decode_ok, frames_ok,
               duration_s, brightness, motion) AS (
   VALUES {_values(_expected_video_metrics())}
@@ -1212,7 +1211,9 @@ GROUP BY fmt ORDER BY fmt
 # curate oracles: the per-clip features come from the driver-side pure-Python
 # codec path (independent of Spark/Arrow), and the GATE LOGIC is re-stated in
 # SQL — so the verdict precedence itself is cross-checked in two engines.
-SQL_AUDIO_CURATE = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_audio_curate() -> str:
+    return f"""
 WITH expected(audio_id, fmt, sr, n_samples, decode_ok, samples_ok, duration_s,
               rms, peak, n_clipped, zero_crossings) AS (
   VALUES {_values(_expected_audio_metrics())}
@@ -1234,7 +1235,9 @@ SELECT audio_id, fmt, duration_s, drop_reason, (drop_reason = 'kept') AS keep
 FROM v
 """
 
-SQL_VIDEO_CURATE = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_video_curate() -> str:
+    return f"""
 WITH expected(video_id, fmt, fps, n_frames, n_sampled, decode_ok, frames_ok,
               duration_s, brightness, motion) AS (
   VALUES {_values(_expected_video_metrics())}
@@ -1294,7 +1297,9 @@ def multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MULTIMODAL_IMAGE = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_multimodal_image() -> str:
+    return f"""
 WITH expected(image_id, fmt, w, h, decode_ok, pixels_ok, phash_ok, caption_ok, psnr_db,
               brightness, thumb_var) AS (
   VALUES {_values(_expected_image_metrics())}
@@ -1326,9 +1331,11 @@ QUERIES = {
 # one-line form of the (values-formatted) near-dup oracle, embeddable as a
 # subquery of the recursive-CTE cluster oracle — same pattern as
 # SQL_DEDUP_CLUSTERS over SQL_DEDUP_MINHASH_LSH
-_SQL_NEARDUP_FLAT = SQL_IMAGE_PHASH_NEARDUP.format(
-    values=_values(_expected_phashes())
-).replace("\n", " ")
+@functools.lru_cache(maxsize=None)
+def _sql_neardup_flat() -> str:
+    return SQL_IMAGE_PHASH_NEARDUP.format(
+        values=_values(_expected_phashes())
+    ).replace("\n", " ")
 
 
 def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,13 +1398,15 @@ def corpus_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text_keep", "image_status", "caption_status", "keep")
     )
 
-SQL_IMAGE_DEDUP_CLUSTERS = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_image_dedup_clusters() -> str:
+    return f"""
 SELECT label AS keeper_id, CAST(count(*) AS BIGINT) AS n_images,
        max(doc) AS last_member
 FROM (
   SELECT doc, min(r) AS label FROM (
     WITH RECURSIVE
-    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_SQL_NEARDUP_FLAT}) p),
+    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_sql_neardup_flat()}) p),
     bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     reach(doc, r) AS (
       SELECT DISTINCT a, a FROM bi
@@ -1410,31 +1419,35 @@ FROM (
 GROUP BY label
 """
 
-ORACLES = {
-    "multimodal_image": SQL_MULTIMODAL_IMAGE,
-    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
-    "multimodal_video": SQL_MULTIMODAL_VIDEO,
-    # values filled here because _values is defined below the SQL template
-    "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP.format(
-        values=_values(_expected_phashes())
-    ),
-    "image_decontaminate": SQL_IMAGE_DECONTAMINATE.format(
-        values=_values(_expected_phashes()),
-        n_images=N_IMAGES,
-        variant_every=VARIANT_EVERY,
-    ),
-}
+@functools.lru_cache(maxsize=None)
+def _oracle_map() -> dict:
+    return {
+        "multimodal_image": _sql_multimodal_image(),
+        "multimodal_audio": _sql_multimodal_audio(),
+        "multimodal_video": _sql_multimodal_video(),
+        # values filled here because _values is defined below the SQL template
+        "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP.format(
+            values=_values(_expected_phashes())
+        ),
+        "image_decontaminate": SQL_IMAGE_DECONTAMINATE.format(
+            values=_values(_expected_phashes()),
+            n_images=N_IMAGES,
+            variant_every=VARIANT_EVERY,
+        ),
+    }
 
 # cross-modal pipeline verdict: text retention ⋈ image cluster labels.
 # Local registry — the driver file is at its 50-row budget.
 from .text import SQL_CORPUS_RETENTION as _SQL_RET  # noqa: E402
 
-SQL_CORPUS_MULTIMODAL_PIPELINE = f"""
+@functools.lru_cache(maxsize=None)
+def _sql_corpus_multimodal_pipeline() -> str:
+    return f"""
 WITH ret AS ({_SQL_RET.replace(chr(10), ' ')}),
 labels AS (
   SELECT doc, min(r) AS label FROM (
     WITH RECURSIVE
-    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_SQL_NEARDUP_FLAT}) p),
+    pairs AS (SELECT img_a AS a, img_b AS b FROM ({_sql_neardup_flat()}) p),
     bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
     reach(doc, r) AS (
       SELECT DISTINCT a, a FROM bi
@@ -1521,6 +1534,7 @@ SELECT e.image_id, e.w, e.h, e.tw, e.th, e.thumb_len,
 FROM sel JOIN expected e USING (image_id)
 """
 
+@functools.lru_cache(maxsize=None)
 def _sql_caption_align() -> str:
     # import here: similarity's DuckDB dot helper (1-indexed list comprehension,
     # same left-to-right float sum as Spark's _flat_dot — see similarity.py)
@@ -1589,6 +1603,7 @@ def image_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_sizes() -> list[tuple]:
     """Driver-side (doc_id, image_id, n_bytes) ground truth: payload bytes +
     utf-8 caption bytes, same codec path pure-Python in-process."""
@@ -1664,6 +1679,7 @@ def image_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_digests() -> list[tuple]:
     """Driver-side (doc_id, image_id, md5-hex) ground truth for base images
     and their planted byte-identical copies."""
@@ -1699,6 +1715,7 @@ BUCKET_STEP = 8
 BUCKET_MAX_ASPECT = 4
 
 
+@functools.lru_cache(maxsize=None)
 def _bucket_ladder() -> list[tuple[int, int, int]]:
     """Deterministic (bucket_id, bw, bh) ladder: widths stepping by
     BUCKET_STEP, height snapped so bw*bh ≈ BUCKET_AREA, aspect clamped to
@@ -1885,6 +1902,7 @@ def image_shard_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_shards() -> tuple[list[tuple], list[tuple]]:
     """Driver-side recompute of the full shard layout: per-image (doc_id,
     shard_id) assignment and per-shard (shard_id, shard_bytes, crc) over the
@@ -2188,6 +2206,7 @@ def image_ocr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_scans() -> list[tuple]:
     """Driver-side (image_id, extracted) ground truth: the same codec path
     run pure-Python in-process — parity proves the planted band survived
@@ -2295,6 +2314,7 @@ def image_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def _expected_redactions() -> list[tuple]:
     """Driver-side redaction ground truth — same codec path pure-Python,
     crc via zlib (same polynomial as the JVM's java.util.zip.CRC32)."""
@@ -2342,7 +2362,9 @@ LOCAL_QUERIES = {
     "image_pii_redact": image_pii_redact,
     "caption_hard_negatives": caption_hard_negatives,
 }
-LOCAL_ORACLES = {
+@functools.lru_cache(maxsize=None)
+def _local_oracle_map() -> dict:
+    return {
     "caption_hard_negatives": _sql_caption_hard_negatives(),
     "audio_fingerprint_neardup": _sql_av_neardup(
         _expected_afps(), "aud", N_AUDIO, "aud_a", "aud_b", AFP_HAMMING_T
@@ -2350,19 +2372,19 @@ LOCAL_ORACLES = {
     "video_phash_neardup": _sql_av_neardup(
         _expected_vhashes(), "vid", N_VIDEO, "vid_a", "vid_b", VID_HAMMING_T
     ),
-    "corpus_multimodal_pipeline": SQL_CORPUS_MULTIMODAL_PIPELINE.format(
+    "corpus_multimodal_pipeline": _sql_corpus_multimodal_pipeline().format(
         caption_status=_SQL_CAPTION_STATUS,
         align=_sql_caption_align().replace("\n", " "),
     ),
-    "image_dedup_clusters": SQL_IMAGE_DEDUP_CLUSTERS,
+    "image_dedup_clusters": _sql_image_dedup_clusters(),
     "image_curate": SQL_IMAGE_CURATE.format(
         dims=_values(_expected_dims()),
         n_images=N_IMAGES,
         variant_every=VARIANT_EVERY,
-        neardup=_SQL_NEARDUP_FLAT,
+        neardup=_sql_neardup_flat(),
     ),
-    "audio_curate": SQL_AUDIO_CURATE,
-    "video_curate": SQL_VIDEO_CURATE,
+    "audio_curate": _sql_audio_curate(),
+    "video_curate": _sql_video_curate(),
     "image_thumbnail": SQL_IMAGE_THUMBNAIL.format(
         values=_values(_expected_thumbs()), img_sel=_img_sel(N_IMAGES)
     ),
@@ -2409,4 +2431,15 @@ LOCAL_ORACLES = {
     "image_pii_redact": SQL_IMAGE_PII_REDACT.format(
         values=_values(_expected_redactions()), n_photos=N_PHOTOS
     ),
-}
+    }
+
+
+def __getattr__(name: str):
+    # PEP 562: oracle maps build on first access (driver-side, once per
+    # process), never at import — see the lazy-oracle note above
+    # _sql_multimodal_audio
+    if name == "ORACLES":
+        return _oracle_map()
+    if name == "LOCAL_ORACLES":
+        return _local_oracle_map()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
