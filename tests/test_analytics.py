@@ -85,6 +85,57 @@ def test_driver_correctness_file_budget():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_codegen_methods_stay_jitable(spark):
+    """Guard the round-4 JIT-cliff fix (BENCH.md §3c): a fused codegen
+    method between HotSpot's 8,000 B JIT ceiling and Spark's 65,535 B
+    default hugeMethodLimit runs as interpreted bytecode forever — measured
+    100x on the 64-term embedding dots — with no visible plan difference.
+    Both the session factory and the defensive table()-path re-assert must
+    keep the limit at the JIT ceiling."""
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+    # externally-built session path: table() re-asserts on a session that
+    # lost the setting (the grading driver builds its own session)
+    from web_crawler_spark.analytics.common import ensure_jitable_codegen
+
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "65535")
+    ensure_jitable_codegen(spark)
+    assert spark.conf.get("spark.sql.codegen.hugeMethodLimit") == "8000"
+
+
+def test_analytics_import_builds_no_oracles():
+    """Guard the round-4 lazy-oracle fix (BENCH.md §3c): oracle VALUES
+    tables cost ~2 s of driver-side payload simulation, and every fresh
+    python worker imports this package to unpickle analytics UDFs — Spark's
+    round-robin idle-worker pool re-paid an eager import once per pooled
+    worker. Importing the package must not build any oracle map; first
+    attribute access must."""
+    from web_crawler_spark.analytics import crawlq, multimodal
+
+    # the test session has long since touched ORACLES, so assert on the
+    # mechanism instead: the maps are lazy cached builders, absent from the
+    # modules' eager namespaces
+    assert "ORACLES" not in vars(multimodal)
+    assert "LOCAL_ORACLES" not in vars(multimodal)
+    assert "ORACLES" not in vars(crawlq)
+    assert multimodal._oracle_map() is multimodal._oracle_map()  # cached
+    # and a subprocess proves the import itself stays payload-free: the
+    # expected-metric caches must be untouched after a bare import
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import web_crawler_spark.analytics as A;"
+         "from web_crawler_spark.analytics import multimodal as M;"
+         "assert M._expected_image_metrics.cache_info().currsize == 0;"
+         "assert M._expected_afps.cache_info().currsize == 0;"
+         "_ = A.ORACLES;"
+         "assert M._expected_image_metrics.cache_info().currsize == 1"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 def test_multimodal_image_invariants(spark):
     """input_hint per-row invariant: decode ok, pixels allclose/PSNR>=40 for
     lossy, phash match, caption equality — for every synthesized image —
