@@ -409,10 +409,11 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by phash Hamming distance, found the way a
     10^10-image corpus has to: the 64-bit phash METADATA column (computed once
     at ingest — no decode in this query) is indexed by all 28 byte-pair
-    16-bit keys (see _PH_PAIRS: complete for Hamming <= 7, covering the
-    <= {IMG_HAMMING_T} threshold; same candidate rule in the oracle so both
-    engines see identical pairs); the exact bit_count(xor) verify runs on
-    candidates only. All flat codegen expressions, one shuffle for the
+    16-bit keys (see _PH_PAIRS: pigeonhole-complete for Hamming <= 6 — at
+    most 6 flipped bits leave >= 2 untouched bytes, so some byte-pair key
+    matches exactly — covering the <= {IMG_HAMMING_T} threshold; same
+    candidate rule in the oracle so both engines see identical pairs); the
+    exact bit_count(xor) verify runs on candidates only. All flat codegen expressions, one shuffle for the
     block self-join."""
     sig = _images_with_variants(spark, sf_dir).select("image_id", "phash")
     return _hamming_pairs(sig, "image_id", "phash", "img_a", "img_b", IMG_HAMMING_T)
