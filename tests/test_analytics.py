@@ -1088,3 +1088,57 @@ def test_pagerank_copartitioned_path_above_broadcast_gate(spark):
     )
 
     assert [tuple(r) for r in base.collect()] == [tuple(r) for r in gated.collect()]
+
+
+def test_dedup_incremental_is_strictly_cross_batch(spark):
+    """Incremental dedup must never pair old x old or new x new: every output
+    doc_id is in the new ingest batch, every dup_of in the existing corpus,
+    and each new doc appears at most once (its single best match)."""
+    from web_crawler_spark.analytics.dedup import (
+        INCR_MOD,
+        JACCARD_T,
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+
+    rows = dedup_incremental(spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus is seeded with cross-batch near-dups"
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["doc_id"] % INCR_MOD == INCR_MOD - 1
+        assert r["dup_of"] % INCR_MOD != INCR_MOD - 1
+        assert r["jaccard"] >= JACCARD_T
+    # consistency with the symmetric detector: every cross-batch pair the
+    # full LSH pass finds must be covered by an incremental verdict for its
+    # new-side doc (the incremental band join sees the same buckets)
+    full = dedup_minhash_lsh(spark, SF_DIR).collect()
+    flagged = {r["doc_id"] for r in rows}
+    for p in full:
+        new_side = [
+            d for d in (p["doc_a"], p["doc_b"]) if d % INCR_MOD == INCR_MOD - 1
+        ]
+        old_side = [
+            d for d in (p["doc_a"], p["doc_b"]) if d % INCR_MOD != INCR_MOD - 1
+        ]
+        if len(new_side) == 1 and len(old_side) == 1:
+            assert new_side[0] in flagged
+
+
+def test_corpus_split_is_cluster_coherent(spark):
+    """No near-dup pair may straddle the train/valid/test boundary, every doc
+    gets exactly one assignment, and the assignment is deterministic."""
+    from web_crawler_spark.analytics.dedup import corpus_split, dedup_minhash_lsh
+
+    out = {r["doc_id"]: (r["group_id"], r["split"]) for r in corpus_split(spark, SF_DIR).collect()}
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(out) == n_docs
+    splits = {s for _, s in out.values()}
+    assert splits <= {"train", "valid", "test"}
+    # train must dominate under the 90/5/5 hash split
+    n_train = sum(1 for _, s in out.values() if s == "train")
+    assert n_train > 0.7 * n_docs
+    for p in dedup_minhash_lsh(spark, SF_DIR).collect():
+        ga, sa = out[p["doc_a"]]
+        gb, sb = out[p["doc_b"]]
+        assert ga == gb, f"pair ({p['doc_a']},{p['doc_b']}) split across groups"
+        assert sa == sb, f"pair ({p['doc_a']},{p['doc_b']}) split across sets"

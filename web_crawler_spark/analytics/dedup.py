@@ -888,6 +888,230 @@ FROM base b LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. incremental dedup: new ingest batch vs the EXISTING corpus
+#
+# The production shape at 100 TB: the corpus is already deduplicated and its
+# MinHash band signatures live in a signature table; each new crawl/ingest
+# batch must be checked against that corpus WITHOUT re-pairing old x old
+# (which re-runs the quadratic work on data that cannot have changed). The
+# plan below derives both signature sides from `documents` (batch stand-in:
+# doc_id % INCR_MOD == INCR_MOD-1, deterministic on both engines) but the
+# band join is strictly new JOIN old — no new x new, no old x old — so at
+# scale the old side is a stored-signature scan and total work is
+# O(batch shingles + candidate verifies), independent of corpus history.
+# Verify restricts the exact-Jaccard shingle join to candidate docs via
+# semi-joins, exactly like dedup_minhash_lsh. Output: per new doc, the best
+# existing match (max jaccard, ties to the smallest corpus doc_id) — the
+# drop list an incremental ingest applies before appending.
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 3  # doc_id % INCR_MOD == INCR_MOD-1 -> new ingest batch (~1/3)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    is_new = F.col("doc_id") % INCR_MOD == INCR_MOD - 1
+    raw = _raw_shingles_df(spark, sf_dir)
+    hashed = raw.select("doc_id", F.expr(_SH_HASH).alias("h"))
+    # one signature pass over the union; in production the old half of this
+    # is a signature-table scan, and everything from `bands` down is the
+    # identical plan
+    mh = (
+        hashed.select("doc_id", (F.col("h") % MINHASH_P).alias("hp"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.col("hp") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(MINHASH_AB)
+            ]
+        )
+    )
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.col(f"mh{b * ROWS_PER_BAND}") * F.lit(2147483648)
+                            + F.col(f"mh{b * ROWS_PER_BAND + 1}")
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    # new JOIN old only: the asymmetric band join is what makes this
+    # incremental — candidate count is bounded by batch-side bucket hits
+    cand = (
+        bands.filter(is_new)
+        .join(
+            bands.filter(~is_new).select(
+                F.col("doc_id").alias("dup_of"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    counts = hashed.dropDuplicates(["doc_id", "h"]).groupBy("doc_id").agg(
+        F.count("*").alias("n_sh")
+    )
+    new_docs = cand.select("doc_id").distinct()
+    old_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
+    sh_new = (
+        hashed.join(new_docs, "doc_id", "left_semi").dropDuplicates(["doc_id", "h"])
+    )
+    sh_old = (
+        hashed.join(old_docs, "doc_id", "left_semi")
+        .dropDuplicates(["doc_id", "h"])
+        .select(F.col("doc_id").alias("dup_of"), "h")
+    )
+    inter = (
+        sh_new.join(sh_old, "h")
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        cand.join(inter, ["doc_id", "dup_of"])
+        .join(counts, "doc_id")
+        .join(
+            counts.select(F.col("doc_id").alias("dup_of"), F.col("n_sh").alias("n_old")),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_sh") + F.col("n_old") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+    # best match per new doc as a map-side max(struct) — no window sort;
+    # struct order = (jaccard desc via max, then smallest dup_of via -dup_of)
+    best = scored.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("jaccard"), (-F.col("dup_of")).alias("nd"))).alias("b")
+    )
+    return best.select(
+        "doc_id", (-F.col("b.nd")).alias("dup_of"), F.col("b.jaccard").alias("jaccard")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH {SQL_HSHINGLE_CTE},
+mh AS (
+  SELECT doc_id, i, min((a * (sh % {MINHASH_P}) + b) % {MINHASH_P}) AS mh
+  FROM hshingle, (VALUES {_SEED_ROWS}) AS seeds(i, a, b)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // {ROWS_PER_BAND} AS INT) AS band,
+         CAST(SUM(CASE WHEN i % 2 = 0 THEN mh * 2147483648 ELSE mh END) AS BIGINT)
+           AS band_key
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS dup_of
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.doc_id % {INCR_MOD} = {INCR_MOD - 1}
+    AND o.doc_id % {INCR_MOD} <> {INCR_MOD - 1}
+),
+inter AS (
+  SELECT n.doc_id AS doc_id, o.doc_id AS dup_of, count(*) AS n_inter
+  FROM hshingle n JOIN hshingle o ON n.sh = o.sh
+  WHERE n.doc_id % {INCR_MOD} = {INCR_MOD - 1}
+    AND o.doc_id % {INCR_MOD} <> {INCR_MOD - 1}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_id, c.dup_of,
+         CAST(i.n_inter AS DOUBLE) / (cn.n_sh + co.n_sh - i.n_inter) AS jaccard
+  FROM cand c
+  JOIN inter i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
+  JOIN hcount cn ON cn.doc_id = c.doc_id
+  JOIN hcount co ON co.doc_id = c.dup_of
+  WHERE CAST(i.n_inter AS DOUBLE) / (cn.n_sh + co.n_sh - i.n_inter) >= {JACCARD_T}
+)
+SELECT doc_id, dup_of, jaccard FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard DESC, dup_of) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 9. cluster-coherent train/valid/test split
+#
+# Splitting a corpus uniformly at random leaks near-duplicates across the
+# train/valid boundary — the eval set then contains paraphrases of training
+# documents and overstates generalization. The standard fix: assign splits
+# at near-dup-CLUSTER granularity. Groups come from the same
+# large-star/small-star components as dedup_clusters (singleton docs label
+# themselves); the split is a deterministic md5 hash of the group label
+# reduced mod 100 (train < 90, valid < 95, else test), so re-running the
+# pipeline — or adding new docs that join an existing cluster — reproduces
+# the same assignment. One label join + map-only hash math on top of the
+# component labels; no extra shuffles beyond dedup_clusters itself.
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 90
+SPLIT_VALID_PCT = 95  # [train, valid) = [0,90), [90,95); test = [95,100)
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _star_labels(pairs)
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    out = d.join(labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("group_id")
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(group_id as string)), 1, 15), 16, 10) as bigint) % 100"
+    )
+    return out.select(
+        "doc_id",
+        "group_id",
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VALID_PCT, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+WITH labels AS (
+  SELECT doc AS doc_id, min(r) AS label FROM (
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a AS a, doc_b AS b
+              FROM ({SQL_DEDUP_MINHASH_LSH.replace(chr(10), ' ')}) p),
+    bi AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    reach(doc, r) AS (
+      SELECT DISTINCT a, a FROM bi
+      UNION
+      SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc
+    )
+    SELECT doc, r FROM reach
+  ) GROUP BY doc
+),
+grouped AS (
+  SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+)
+SELECT doc_id, group_id,
+       CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, group_id,
+         CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM grouped
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "corpus_decontaminate": corpus_decontaminate,
@@ -912,8 +1136,12 @@ ORACLES = {
 # driver registry for its 8 KiB CORRECTNESS budget (see analytics/__init__.py)
 LOCAL_QUERIES = {
     "span_dedup": span_dedup,
+    "dedup_incremental": dedup_incremental,
+    "corpus_split": corpus_split,
 }
 
 LOCAL_ORACLES = {
     "span_dedup": SQL_SPAN_DEDUP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "corpus_split": SQL_CORPUS_SPLIT,
 }
