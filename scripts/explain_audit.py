@@ -134,6 +134,13 @@ AUDITS = {
     # mining composes on the IVF plan (matmul assignment, cell equi-join);
     # the added window partitions per query over <= TOP_K rows
     "caption_hard_negatives": (["MapInPandas", "Window"], ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]),
+    # asymmetric new-batch x existing-corpus band join: equi-joins on
+    # (band, band_key) and the shingle key only; best-match is a map-side
+    # max(struct) grouped agg, never a window sort
+    "dedup_incremental": ([], ["CartesianProduct", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # component labels + map-only hash split: equi-joins only (the star
+    # rounds are materialized behind localCheckpoint scans)
+    "corpus_split": ([], ["CartesianProduct", "Window", "BatchEvalPython", "ArrowEvalPython"]),
 }
 
 
