@@ -493,3 +493,51 @@ def test_stream_spans_matches_batch_and_span_dedup(spark, tmp_path):
     assert got == batch
     n_dup = sum(1 for _, _, dt, _, _ in got.values() if dt > 0)
     assert 0 < n_dup < len(got)  # real duplicated passages, not all/none
+
+
+def test_stream_neardup_matches_batch_and_dedup_incremental(spark, tmp_path):
+    """Ingest-time near-dup admission: the complete-mode verdict over a
+    static source equals its batch twin row-for-row AND — because the band
+    index is built from the corpus split of the same documents table while
+    the new-batch split is streamed — equals dedup_incremental's verdicts
+    doc-for-doc (per-row array-fold signatures vs the batch tier's
+    partial-agg groupBy formulation: two independent plans, same rows)."""
+    from web_crawler_spark.analytics.dedup import INCR_MOD, dedup_incremental
+    from web_crawler_spark.streaming import stream_neardup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = F.col("doc_id") % INCR_MOD == INCR_MOD - 1
+    src = tmp_path / "doc_stream"
+    docs.filter(is_new).write.parquet(str(src))
+
+    band_index, shingle_sets = stream_neardup.build_index(
+        spark, docs.filter(~is_new)
+    )
+    band_index = band_index.cache()
+    shingle_sets = shingle_sets.cache()
+
+    q = stream_neardup.run_to_memory(
+        stream_neardup.neardup_stream(spark, str(src), band_index, shingle_sets),
+        name="neardup_t",
+    )
+    try:
+        got = {r["doc_id"]: (r["dup_of"], round(r["jaccard"], 9))
+               for r in spark.table("neardup_t").collect()}
+    finally:
+        q.stop()
+
+    want = {
+        r["doc_id"]: (r["dup_of"], round(r["jaccard"], 9))
+        for r in stream_neardup.neardup_batch(
+            spark, str(src), band_index, shingle_sets
+        ).collect()
+    }
+    assert got == want
+
+    batch = {
+        r["doc_id"]: (r["dup_of"], round(r["jaccard"], 9))
+        for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    assert got == batch
+    assert got, "sf0.001 corpus is seeded with cross-batch near-dups"
