@@ -1142,3 +1142,21 @@ def test_corpus_split_is_cluster_coherent(spark):
         gb, sb = out[p["doc_b"]]
         assert ga == gb, f"pair ({p['doc_a']},{p['doc_b']}) split across groups"
         assert sa == sb, f"pair ({p['doc_a']},{p['doc_b']}) split across sets"
+
+
+def test_corpus_stats_rollup_totals(spark):
+    """The data card's ROLLUP grand-total row must equal the corpus totals,
+    and each source subtotal the sum of its language rows."""
+    from web_crawler_spark.analytics.text import corpus_stats
+
+    rows = corpus_stats(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    grand = [r for r in rows if r["source"] is None and r["lang"] is None]
+    assert len(grand) == 1 and grand[0]["n_docs"] == n_docs
+    per_src = {r["source"]: r for r in rows if r["source"] is not None and r["lang"] is None}
+    leaves = [r for r in rows if r["source"] is not None and r["lang"] is not None]
+    for src, sub in per_src.items():
+        mine = [r for r in leaves if r["source"] == src]
+        assert sub["n_docs"] == sum(r["n_docs"] for r in mine)
+        assert sub["n_tokens"] == sum(r["n_tokens"] for r in mine)
+    assert grand[0]["n_tokens"] == sum(r["n_tokens"] for r in leaves)

@@ -868,6 +868,41 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus data card: the per-source/per-language reporting pass a dataset
+# release ships (docs, token and char volume, length distribution), with
+# ROLLUP totals so the card carries source-level and corpus-level rows in
+# the same result. One scan + one partial-aggregated ROLLUP shuffle; the
+# percentiles are exact (Spark `percentile` == DuckDB `quantile_cont`) —
+# at the 100 TB grain the drop-in swap is percentile_approx, the same
+# documented trade as events_profile's metrics-plane twin.
+# ---------------------------------------------------------------------------
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "lang", F.expr(f"size({_WORDS})").alias("nw"), "n_chars"
+    )
+    return base.rollup("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+        (F.sum("nw") / F.count("*")).alias("avg_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(len({SQL_WORDS})) AS BIGINT) AS n_tokens,
+       CAST(sum(len({SQL_WORDS})) AS DOUBLE) / count(*) AS avg_tokens,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.95) AS p95_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+"""
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -890,6 +925,7 @@ ORACLES = {
 # local tier: oracle-paired and pytest/check_parity-verified, kept off the
 # driver registry for its 8 KiB CORRECTNESS budget (see analytics/__init__.py)
 LOCAL_QUERIES = {
+    "corpus_stats": corpus_stats,
     "text_repetition": text_repetition,
     "line_dedup": line_dedup,
     "domain_resample": domain_resample,
@@ -899,6 +935,7 @@ LOCAL_QUERIES = {
 }
 
 LOCAL_ORACLES = {
+    "corpus_stats": SQL_CORPUS_STATS,
     "text_lm_score": SQL_TEXT_LM_SCORE,
     "text_repetition": SQL_TEXT_REPETITION,
     "line_dedup": SQL_LINE_DEDUP,
