@@ -1160,3 +1160,28 @@ def test_corpus_stats_rollup_totals(spark):
         assert sub["n_docs"] == sum(r["n_docs"] for r in mine)
         assert sub["n_tokens"] == sum(r["n_tokens"] for r in mine)
     assert grand[0]["n_tokens"] == sum(r["n_tokens"] for r in leaves)
+
+
+def test_embed_index_stats_consistency(spark):
+    """The index health card's single row must be internally consistent and
+    agree with an independent recount of the assignment stage."""
+    from web_crawler_spark.analytics.similarity import (
+        _assign_cells,
+        embed_index_stats,
+    )
+    from web_crawler_spark.analytics.common import table as _table
+
+    r = embed_index_stats(spark, SF_DIR).collect()
+    assert len(r) == 1
+    r = r[0]
+    occ = (
+        _assign_cells(spark, _table(spark, SF_DIR, "embeddings").select("vec_id", "embedding"))
+        .groupBy("cell").count().collect()
+    )
+    ns = sorted(c["count"] for c in occ)
+    assert r["n_cells"] == len(ns)
+    assert r["n_vecs"] == sum(ns)
+    assert r["max_occ"] == ns[-1] and r["min_occ"] == ns[0]
+    assert abs(r["mean_occ"] - sum(ns) / len(ns)) < 1e-9
+    assert abs(r["skew"] - ns[-1] * len(ns) / sum(ns)) < 1e-9
+    assert r["min_occ"] <= r["p50_occ"] <= r["p95_occ"] <= r["max_occ"]

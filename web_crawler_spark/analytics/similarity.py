@@ -903,6 +903,54 @@ WHERE t.vec_id % {EMBED_DECON_MOD} != 0
 """
 
 
+def embed_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index health card: cell-occupancy distribution of the shared
+    corpus-scaled quantizer — the skew report an operator reads BEFORE
+    putting an IVF/SemDeDup partitioning in production. Every cell-bounded
+    operator here (embed_ivf_ann probes, embed_semdedup pairwise blocks,
+    embed_decontaminate fan-out) does per-cell work proportional to
+    occupancy, so `max_occ`/`skew` bound the straggler task directly: a
+    skew of s means the hottest cell's task runs s× the average — the
+    number that tells you to re-train with larger k or split hot cells
+    BEFORE the 100 TB run, not after it stalls.
+
+    Plan: the zero-shuffle matmul assignment, ONE partial-aggregated
+    groupBy(cell) shuffle of 8-byte pairs, then a single-row summary agg
+    (exact percentiles; at unbounded cell counts percentile_approx is the
+    documented swap, as in events_profile). Every ratio is one double
+    division of exact bigints, so the DuckDB oracle is bit-equal."""
+    e_scan = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    occ = _assign_cells(spark, e_scan).groupBy("cell").agg(
+        F.count("*").alias("n")
+    )
+    return occ.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.max("n").alias("max_occ"),
+        F.min("n").alias("min_occ"),
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_occ"),
+        F.expr("percentile(n, 0.5)").alias("p50_occ"),
+        F.expr("percentile(n, 0.95)").alias("p95_occ"),
+        ((F.max("n") * F.count("*")).cast("double") / F.sum("n")).alias("skew"),
+    )
+
+
+SQL_EMBED_INDEX_STATS = f"""
+WITH {_sql_ivf_cells(_SQL_SEMDEDUP_K)},
+assigned AS (SELECT vec_id, cell FROM ranked WHERE _cr = 1),
+occ AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n) AS BIGINT) AS n_vecs,
+       CAST(max(n) AS BIGINT) AS max_occ,
+       CAST(min(n) AS BIGINT) AS min_occ,
+       CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+       quantile_cont(n, 0.5) AS p50_occ,
+       quantile_cont(n, 0.95) AS p95_occ,
+       CAST(max(n) * count(*) AS DOUBLE) / sum(n) AS skew
+FROM occ
+"""
+
+
 # Local-only (scripts/check_parity.py + pytest, not the driver registry):
 # embed_neardup drives the identical brute-force path as embed_cosine_topk
 # (same _flat_dot / guard / repartition) and is the all-pairs form the
@@ -913,12 +961,14 @@ WHERE t.vec_id % {EMBED_DECON_MOD} != 0
 QUERIES["embed_semdedup"] = embed_semdedup
 ORACLES["embed_semdedup"] = SQL_EMBED_SEMDEDUP
 LOCAL_QUERIES = {
+    "embed_index_stats": embed_index_stats,
     "embed_neardup": embed_neardup,
     "embed_neardup_lsh": embed_neardup_lsh,
     "embed_dedup_clusters": embed_dedup_clusters,
     "embed_decontaminate": embed_decontaminate,
 }
 LOCAL_ORACLES = {
+    "embed_index_stats": SQL_EMBED_INDEX_STATS,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "embed_neardup_lsh": SQL_EMBED_NEARDUP_LSH,
     "embed_dedup_clusters": SQL_EMBED_DEDUP_CLUSTERS,
