@@ -141,6 +141,11 @@ AUDITS = {
     # component labels + map-only hash split: equi-joins only (the star
     # rounds are materialized behind localCheckpoint scans)
     "corpus_split": ([], ["CartesianProduct", "Window", "BatchEvalPython", "ArrowEvalPython"]),
+    # one scan + one partial-agg'd ROLLUP (Expand) shuffle; no join at all
+    "corpus_stats": (["Expand"], ["Join", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"]),
+    # matmul assignment + one 8-byte-pair groupBy + 1-row summary; no join,
+    # no window, no cartesian past the Arrow assignment stage
+    "embed_index_stats": (["MapInPandas"], ["Join", "Window", "CartesianProduct", "BatchEvalPython"]),
 }
 
 
