@@ -541,3 +541,43 @@ def test_stream_neardup_matches_batch_and_dedup_incremental(spark, tmp_path):
     }
     assert got == batch
     assert got, "sf0.001 corpus is seeded with cross-batch near-dups"
+
+
+def test_stream_neardup_signatures_match_pure_python_on_edge_docs(spark):
+    """The per-row array-fold minhash formulation must equal an independent
+    pure-Python recompute on edge documents the corpus never exercises:
+    empty text, <3 words (no shingles -> null minhashes), repeated
+    shingles, mixed/tab whitespace, leading/trailing space, non-ASCII."""
+    import hashlib
+    import re
+
+    from web_crawler_spark.analytics.dedup import MINHASH_AB, MINHASH_P
+    from web_crawler_spark.streaming import stream_neardup
+
+    texts = [
+        "",
+        "one",
+        "one two",
+        "a b c",
+        "a  b\tc  a b c",
+        "x y z x y z w",
+        "ä ö ü ä ö ü",
+        "  lead mid trail  ",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in stream_neardup._signatures(docs).collect()}
+
+    for i, t in enumerate(texts):
+        w = re.split(r"\s+", t.strip().lower())
+        shs = (
+            [" ".join(w[j : j + 3]) for j in range(len(w) - 2)] if len(w) >= 3 else []
+        )
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shs]
+        r = got[i]
+        assert sorted(r["sh"]) == sorted(set(hs)), f"doc {i} shingle set"
+        assert r["n_sh"] == len(set(hs)), f"doc {i} n_sh"
+        for k, (a, b) in enumerate(MINHASH_AB):
+            want = min(((h % MINHASH_P) * a + b) % MINHASH_P for h in hs) if hs else None
+            assert r[f"mh{k}"] == want, f"doc {i} mh{k}"
