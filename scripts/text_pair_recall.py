@@ -27,6 +27,7 @@ Usage: python scripts/text_pair_recall.py [--sf SF_DIR]
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -66,7 +67,10 @@ def main() -> None:
 
     bands: dict[str, list[int]] = {}
     for pair, j in exact.items():
-        lo = min(int(j * 10) / 10, 0.9)
+        # representation-safe band edge: int(j*10) truncates 0.7*10=6.999…
+        # into the band below; round to 9 places first so an exact-decimal
+        # jaccard always lands on its own band boundary
+        lo = min(math.floor(round(j * 10, 9)) / 10, 0.9)
         key = f"[{lo:.1f},{lo + 0.1:.1f})" if j < 1.0 else "[1.0]"
         hit, tot = bands.get(key, [0, 0])
         bands[key] = [hit + (pair in lsh), tot + 1]

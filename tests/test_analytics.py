@@ -1124,6 +1124,44 @@ def test_dedup_incremental_is_strictly_cross_batch(spark):
             assert new_side[0] in flagged
 
 
+def test_dedup_incremental_caps_boilerplate_shingles(spark, tmp_path):
+    """Planted licence-boilerplate regression: a shingle present in more than
+    SHINGLE_DF_CAP docs must be dropped from the verify tier, so (a) a pair
+    that shares ONLY boilerplate is never flagged (its uncapped jaccard would
+    be ~0.82), and (b) a true near-dup pair is still flagged with jaccard
+    computed over discriminative shingles only."""
+    from web_crawler_spark.analytics.dedup import (
+        INCR_MOD,
+        SHINGLE_DF_CAP,
+        dedup_incremental,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(30))  # 28 boiler shingles
+    n_docs = SHINGLE_DF_CAP + 10  # boilerplate shingle df > cap
+    rows = []
+    for i in range(n_docs):
+        tail = f"uniq{i}a uniq{i}b uniq{i}c"
+        if i == 2:  # new batch (2 % 3 == INCR_MOD - 1), true dup of doc 3
+            tail = "shared tail tokens"
+        if i == 3:  # old corpus twin of doc 2
+            tail = "shared tail tokens"
+        rows.append((i, f"{boiler} {tail}"))
+    assert 2 % INCR_MOD == INCR_MOD - 1 and 3 % INCR_MOD != INCR_MOD - 1
+    assert 5 % INCR_MOD == INCR_MOD - 1
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(spark, sf).collect()}
+    # (a) every boilerplate-only new doc stays unflagged
+    assert 5 not in out
+    assert set(out) == {2}
+    # (b) the true pair survives; its discriminative shingles are identical,
+    # so capped jaccard is exactly 1.0 (uncapped it would be diluted < 1)
+    assert out[2]["dup_of"] == 3
+    assert out[2]["jaccard"] == 1.0
+
+
 def test_corpus_split_is_cluster_coherent(spark):
     """No near-dup pair may straddle the train/valid/test boundary, every doc
     gets exactly one assignment, and the assignment is deterministic."""
@@ -1142,6 +1180,29 @@ def test_corpus_split_is_cluster_coherent(spark):
         gb, sb = out[p["doc_b"]]
         assert ga == gb, f"pair ({p['doc_a']},{p['doc_b']}) split across groups"
         assert sa == sb, f"pair ({p['doc_a']},{p['doc_b']}) split across sets"
+
+
+def test_cluster_labels_shared_between_split_and_clusters(spark):
+    """corpus_split and dedup_clusters must consume ONE component-label
+    snapshot per (session, corpus): the LSH + star-labeling pipeline is the
+    dominant cost at scale and must not run once per consumer. Pins both the
+    memo identity and the semantic agreement (group_id == cluster_id for
+    every clustered doc)."""
+    from web_crawler_spark.analytics import dedup
+
+    dedup._LABELS_MEMO.clear()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(spark, SF_DIR).collect()
+    }
+    first = dict(dedup._LABELS_MEMO)
+    assert len(first) == 1, "one snapshot per (session, corpus)"
+    split = {
+        r["doc_id"]: r["group_id"] for r in dedup.corpus_split(spark, SF_DIR).collect()
+    }
+    assert dedup._LABELS_MEMO == first, "corpus_split rebuilt the labels"
+    for doc_id, cid in clusters.items():
+        assert split[doc_id] == cid
 
 
 def test_corpus_stats_rollup_totals(spark):

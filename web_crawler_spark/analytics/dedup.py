@@ -324,6 +324,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEED_ROWS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_AB))
 
+# The band-key packing in the DuckDB oracles below (SQL_DEDUP_MINHASH_LSH
+# and SQL_DEDUP_INCREMENTAL) hardcodes the r=2 layout: `CASE WHEN i % 2 = 0
+# THEN mh * 2147483648 ELSE mh END` sums exactly one shifted + one unshifted
+# minhash per band. ROWS_PER_BAND is interpolated elsewhere in the same
+# statements, so changing it would silently desynchronize the oracle band
+# keys from Spark's instead of failing. Pin the coupling at import time.
+assert ROWS_PER_BAND == 2, (
+    "oracle band-key SQL hardcodes the r=2 hi*2^31+lo packing; rewrite the "
+    "bands CTEs before changing ROWS_PER_BAND"
+)
+
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {SQL_HSHINGLE_CTE},
 mh AS (
@@ -607,6 +618,30 @@ def _star_labels(edges: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped snapshot of the near-dup component labels: the LSH pair
+# detection + large-star/small-star labeling is the most expensive stage in
+# this module, and BOTH dedup_clusters and corpus_split consume exactly the
+# same label table — at 100 TB running it twice doubles the dominant cost.
+# The first consumer materializes the labels once (eager localCheckpoint:
+# the star loop has already executed its rounds; this pins the final join
+# too); every later consumer in the same session reads the checkpointed
+# blocks. Keyed by (applicationId, sf_dir) so a new session or a different
+# corpus rebuilds; stale sessions' entries are evicted on access because a
+# dead session's checkpoint blocks are unreadable anyway.
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _LABELS_MEMO:
+        for k in [k for k in _LABELS_MEMO if k[0] != app]:
+            del _LABELS_MEMO[k]
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        _LABELS_MEMO[key] = _star_labels(pairs).localCheckpoint(eager=True)
+    return _LABELS_MEMO[key]
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicates into clusters (one keeper per component): the
     step a real dedup pipeline runs after pair detection.
@@ -614,10 +649,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components come from large-star/small-star alternation (`_star_labels`),
     the O(log n)-round MapReduce connected-components — replacing the earlier
     min-label propagation whose round count grew with component diameter.
-    The DuckDB oracle is a recursive CTE over the same pair set.
+    The DuckDB oracle is a recursive CTE over the same pair set. Labels are
+    read from the shared `_component_labels` snapshot, so running this and
+    `corpus_split` in one session pays for pair detection + labeling once.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _star_labels(pairs)
+    labels = _component_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -907,7 +943,10 @@ FROM base b LEFT JOIN perdoc p USING (doc_id)
 # scale the old side is a stored-signature scan and total work is
 # O(batch shingles + candidate verifies), independent of corpus history.
 # Verify restricts the exact-Jaccard shingle join to candidate docs via
-# semi-joins, exactly like dedup_minhash_lsh. Output: per new doc, the best
+# semi-joins AND drops boilerplate shingles (df > SHINGLE_DF_CAP) before the
+# intersection, like dedup_ngram_jaccard — candidate restriction alone still
+# fans out quadratically on a licence shingle shared by most candidates.
+# Output: per new doc, the best
 # existing match (max jaccard, ties to the smallest corpus doc_id) — the
 # drop list an incremental ingest applies before appending.
 # ---------------------------------------------------------------------------
@@ -966,18 +1005,27 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "dup_of")
         .distinct()
     )
-    counts = hashed.dropDuplicates(["doc_id", "h"]).groupBy("doc_id").agg(
-        F.count("*").alias("n_sh")
+    # verify tier over DISCRIMINATIVE shingles only, like dedup_ngram_jaccard:
+    # a licence-boilerplate shingle shared by most candidate docs would fan
+    # the h-join out quadratically in candidate count even though both sides
+    # are candidate-restricted, so shingles in more than SHINGLE_DF_CAP docs
+    # are dropped BEFORE the intersection join and the per-doc counts (one
+    # dedup exchange builds `kept`; counts and both verify sides reuse it —
+    # the uncapped plan paid the same exchange for counts alone). At 100 TB
+    # the old side's df table is precomputed index metadata, not a rescan.
+    hot = (
+        hashed.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DF_CAP)
+        .select("h")
     )
+    kept = hashed.dropDuplicates(["doc_id", "h"]).join(hot, "h", "left_anti")
+    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     new_docs = cand.select("doc_id").distinct()
     old_docs = cand.select(F.col("dup_of").alias("doc_id")).distinct()
-    sh_new = (
-        hashed.join(new_docs, "doc_id", "left_semi").dropDuplicates(["doc_id", "h"])
-    )
-    sh_old = (
-        hashed.join(old_docs, "doc_id", "left_semi")
-        .dropDuplicates(["doc_id", "h"])
-        .select(F.col("doc_id").alias("dup_of"), "h")
+    sh_new = kept.join(new_docs, "doc_id", "left_semi")
+    sh_old = kept.join(old_docs, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("dup_of"), "h"
     )
     inter = (
         sh_new.join(sh_old, "h")
@@ -1027,9 +1075,15 @@ cand AS (
   WHERE n.doc_id % {INCR_MOD} = {INCR_MOD - 1}
     AND o.doc_id % {INCR_MOD} <> {INCR_MOD - 1}
 ),
+kept AS (
+  SELECT s.doc_id, s.sh FROM hshingle s
+  JOIN (SELECT sh FROM hshingle GROUP BY sh
+        HAVING count(*) <= {SHINGLE_DF_CAP}) k ON k.sh = s.sh
+),
+kcount AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
 inter AS (
   SELECT n.doc_id AS doc_id, o.doc_id AS dup_of, count(*) AS n_inter
-  FROM hshingle n JOIN hshingle o ON n.sh = o.sh
+  FROM kept n JOIN kept o ON n.sh = o.sh
   WHERE n.doc_id % {INCR_MOD} = {INCR_MOD - 1}
     AND o.doc_id % {INCR_MOD} <> {INCR_MOD - 1}
   GROUP BY 1, 2
@@ -1039,8 +1093,8 @@ scored AS (
          CAST(i.n_inter AS DOUBLE) / (cn.n_sh + co.n_sh - i.n_inter) AS jaccard
   FROM cand c
   JOIN inter i ON i.doc_id = c.doc_id AND i.dup_of = c.dup_of
-  JOIN hcount cn ON cn.doc_id = c.doc_id
-  JOIN hcount co ON co.doc_id = c.dup_of
+  JOIN kcount cn ON cn.doc_id = c.doc_id
+  JOIN kcount co ON co.doc_id = c.dup_of
   WHERE CAST(i.n_inter AS DOUBLE) / (cn.n_sh + co.n_sh - i.n_inter) >= {JACCARD_T}
 )
 SELECT doc_id, dup_of, jaccard FROM (
@@ -1061,8 +1115,16 @@ SELECT doc_id, dup_of, jaccard FROM (
 # large-star/small-star components as dedup_clusters (singleton docs label
 # themselves); the split is a deterministic md5 hash of the group label
 # reduced mod 100 (train < 90, valid < 95, else test), so re-running the
-# pipeline — or adding new docs that join an existing cluster — reproduces
-# the same assignment. One label join + map-only hash math on top of the
+# pipeline — or adding new docs that join an existing cluster WITHOUT
+# merging previously separate clusters — reproduces the same assignment.
+# (A bridging doc that merges two clusters relabels the union to the
+# smaller component-min, intentionally reassigning the merged group as one
+# unit: the alternative — keeping both old labels — would leave a
+# near-dup pair straddling the split boundary, the exact leak this query
+# exists to prevent.) Labels come from the `_component_labels` session
+# snapshot shared with dedup_clusters — the LSH + star-labeling pipeline
+# runs ONCE per (session, corpus), not once per consumer.
+# One label join + map-only hash math on top of the
 # component labels; no extra shuffles beyond dedup_clusters itself.
 # ---------------------------------------------------------------------------
 
@@ -1071,8 +1133,7 @@ SPLIT_VALID_PCT = 95  # [train, valid) = [0,90), [90,95); test = [95,100)
 
 
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = _star_labels(pairs)
+    labels = _component_labels(spark, sf_dir)
     d = table(spark, sf_dir, "documents").select("doc_id")
     out = d.join(labels.withColumnRenamed("doc", "doc_id"), "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("group_id")
