@@ -37,10 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # LOCAL_QUERIES tier — see module notes), projecting to ~7.9 KB with ~300 B
 # of margin (scripts/registry_budget.py) so no row can be truncated again.
 # This explicit order puts the entries with the least prior driver evidence
-# first: crawl_bfs (first round with a VALUES oracle — r03 was rows-only) and
-# the two round-4 promotions from the local tier, then the entries the r02
-# truncation bug once hid.
+# first: the three round-5 promotions (never driver-graded before), then
+# crawl_bfs and the round-4 promotions, then the entries the r02 truncation
+# bug once hid.
 _FIRST = (
+    "dedup_incremental",
+    "span_dedup",
+    "text_classify_quality",
     "crawl_bfs",
     "corpus_pipeline_full",
     "embed_semdedup",

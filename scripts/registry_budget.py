@@ -45,6 +45,7 @@ KNOWN_ROWS = {
     "corpus_retention": 500, "host_pagerank": 97, "tfidf_topterms": 1500,
     "approx_distinct_kmv": 1, "embed_cosine_topk": 160, "embed_lsh_ann": 160,
     "embed_ivf_ann": 160, "multimodal_audio": 2,
+    "dedup_incremental": 15, "span_dedup": 500, "text_classify_quality": 500,
 }
 
 

@@ -1191,6 +1191,11 @@ QUERIES = {
     "text_fingerprint": text_fingerprint_sig,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
+    # promoted in round 5 (slots freed by demoting the TPC-H showcase
+    # queries — see relational.py): the incremental-ingest and
+    # exact-substring-span flagships had only local-tier evidence
+    "dedup_incremental": dedup_incremental,
+    "span_dedup": span_dedup,
 }
 
 ORACLES = {
@@ -1201,18 +1206,16 @@ ORACLES = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
     "text_fingerprint": _sql_text_fingerprint_sig(),
     "dedup_simhash_pairs": SQL_DEDUP_SIMHASH_PAIRS,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "span_dedup": SQL_SPAN_DEDUP,
 }
 
 # local tier: oracle-paired and pytest/check_parity-verified, kept off the
 # driver registry for its 8 KiB CORRECTNESS budget (see analytics/__init__.py)
 LOCAL_QUERIES = {
-    "span_dedup": span_dedup,
-    "dedup_incremental": dedup_incremental,
     "corpus_split": corpus_split,
 }
 
 LOCAL_ORACLES = {
-    "span_dedup": SQL_SPAN_DEDUP,
-    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "corpus_split": SQL_CORPUS_SPLIT,
 }

@@ -783,9 +783,6 @@ QUERIES = {
     "first_occurrence": first_occurrence,
     "content_stats": content_stats,
     "scalar_funcs": scalar_funcs,
-    "pricing_summary": pricing_summary,
-    "ship_priority": ship_priority,
-    "region_volume": region_volume,
     "hourly_rollup": hourly_rollup,
     "session_rollup": session_rollup,
     "attribution_join": attribution_join,
@@ -804,16 +801,27 @@ QUERIES = {
 # content_stats, and the slot funds promoting corpus_pipeline_full +
 # embed_semdedup into the driver tier. topk_recent likewise: ordered top-k
 # (O1-O8) stays driver-evidenced by linkgraph_sort (multi-key sort+limit) and
-# admission_cap (rank cap).
+# admission_cap (rank cap). Round 5 demotes the three TPC-H-style showcase
+# queries (pricing_summary, ship_priority, region_volume): they map to no
+# SURVEY §2 row — their grouped-agg/join machinery is driver-evidenced by
+# pages_per_job/enrich_join/status_breakdown — and the freed slots fund
+# promoting round-4's flagship operators (dedup_incremental, span_dedup,
+# text_classify_quality) into the driver gate.
 LOCAL_QUERIES = {
     "status_rollup": status_rollup,
     "json_extract": json_extract,
     "topk_recent": topk_recent,
+    "pricing_summary": pricing_summary,
+    "ship_priority": ship_priority,
+    "region_volume": region_volume,
 }
 LOCAL_ORACLES = {
     "status_rollup": SQL_STATUS_ROLLUP,
     "json_extract": SQL_JSON_EXTRACT,
     "topk_recent": SQL_TOPK_RECENT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "ship_priority": SQL_SHIP_PRIORITY,
+    "region_volume": SQL_REGION_VOLUME,
 }
 
 ORACLES = {
@@ -831,9 +839,6 @@ ORACLES = {
     "first_occurrence": SQL_FIRST_OCCURRENCE,
     "content_stats": SQL_CONTENT_STATS,
     "scalar_funcs": SQL_SCALAR_FUNCS,
-    "pricing_summary": SQL_PRICING_SUMMARY,
-    "ship_priority": SQL_SHIP_PRIORITY,
-    "region_volume": SQL_REGION_VOLUME,
     "hourly_rollup": SQL_HOURLY_ROLLUP,
     "session_rollup": SQL_SESSION_ROLLUP,
     "attribution_join": SQL_ATTRIBUTION_JOIN,

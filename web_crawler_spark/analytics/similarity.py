@@ -615,28 +615,50 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed all-pairs embedding near-dup — the CORPUS-SCALE pair source
     (`embed_neardup` is the O(n²) exactness baseline behind a cardinality
     guard; this is what actually runs at 10^10 vectors): candidate pairs
-    share a sign-LSH bucket in ANY of the L tables (index side only, no
-    probes — both members are indexed, so bucket-collision recall applies
-    twice), exact cosine >= {NEARDUP_T} verified on candidates only. Recall
+    have table signatures within Hamming distance 1 in ANY of the L tables
+    (one-sided Hamming-1 multiprobe — the left side expands to B+1 probes,
+    the indexed side stays one bucket per (vec, table); XOR symmetry +
+    least/greatest canonicalization covers the unordered pair set), exact
+    cosine >= {NEARDUP_T} verified on candidates only. Recall
     is bounded by the L×B collision probability IDENTICALLY in both engines
     (same signature arithmetic, bit-for-bit), so the oracle sees the same
     pair set. Shuffles on (table, bucket) then vec_id — never all pairs.
 
     RECALL CONTRACT (scripts/pair_recall.py, BENCH.md §3b): precision = 1.0
     by construction (exact verify on candidates); pair recall vs the exact
-    baseline rises with pair similarity — 0.07 on the adversarial driver
+    baseline rises with pair similarity — with the Hamming-1 multiprobe,
+    0.9942 for sim>=0.80 pairs and 0.9555 overall on the clustered corpus
+    (single-probe was 0.76 high-band), 0.428 on the adversarial driver
     corpus (every pair in the near-orthogonal 0.35-0.60 band; cos 0.35 ≈
-    69°), 0.76 for sim>=0.80 pairs on the clustered corpus. Single-probe on
-    both sides of the self-join is the documented trade: Hamming-1 expansion
-    (the query tier's trick) would lift high-band recall to ~0.99 at ~11×
-    the index rows."""
+    69°; single-probe was 0.07). Cost of the probes: candidate pairs grow
+    4.8× (clustered) / 9.5× (adversarial) against the theoretical (B+1)=11×
+    probe-row fanout — the verify tier stays candidate-bounded."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     b = _signature_buckets(spark, table(spark, sf_dir, "embeddings"))
+    # one-sided Hamming-1 multiprobe (the query tier's trick): the LEFT side
+    # expands to its signature plus every 1-bit flip, the indexed side stays
+    # one bucket per (vec, table) — a pair is a candidate iff its two table
+    # signatures are within Hamming distance 1 in ANY table. XOR symmetry
+    # means one-sided probing + least/greatest canonicalization covers the
+    # unordered pair set; probe fanout is (B+1)·L·n rows, the indexed side
+    # is unchanged, never all pairs.
+    probes = (
+        b.select(
+            F.col("vec_id").alias("vec_p"),
+            "t",
+            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("_m"),
+            "bkt",
+        )
+        .withColumn("bkt", F.expr("bkt ^ _m"))
+        .drop("_m")
+    )
     cand = (
-        b.select(F.col("vec_id").alias("vec_a"), "t", "bkt")
-        .join(b.select(F.col("vec_id").alias("vec_b"), "t", "bkt"), ["t", "bkt"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        probes.join(b.select(F.col("vec_id").alias("vec_i"), "t", "bkt"), ["t", "bkt"])
+        .filter(F.col("vec_p") != F.col("vec_i"))
+        .select(
+            F.least("vec_p", "vec_i").alias("vec_a"),
+            F.greatest("vec_p", "vec_i").alias("vec_b"),
+        )
         .distinct()
     )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
@@ -656,10 +678,15 @@ def embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMBED_NEARDUP_LSH = f"""
 WITH {_SQL_NORMED},
 buckets AS ({_SQL_TABLE_BUCKETS}),
+probes AS (
+  SELECT vec_id, t, xor(bkt, m.m) AS bkt
+  FROM buckets, (SELECT unnest({_PROBE_MASKS}) AS m) m
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
-  WHERE a.vec_id < b.vec_id
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS vec_a,
+                  greatest(a.vec_id, b.vec_id) AS vec_b
+  FROM probes a JOIN buckets b ON a.t = b.t AND a.bkt = b.bkt
+  WHERE a.vec_id <> b.vec_id
 )
 SELECT c.vec_a, c.vec_b,
        round({_sql_dot('x.embedding', 'y.embedding')} / (x.nrm * y.nrm), 6) AS sim

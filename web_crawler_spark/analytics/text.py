@@ -910,6 +910,10 @@ QUERIES = {
     # promoted to the driver tier in round 4 (registry rotation): the full
     # five-gate curation verdict is the text tier's flagship composition
     "corpus_pipeline_full": corpus_pipeline_full,
+    # promoted in round 5: the model-based quality filter is the curation
+    # stage with the least prior driver evidence (slot freed by demoting the
+    # TPC-H showcase queries — see relational.py's local-tier note)
+    "text_classify_quality": text_classify_quality,
 }
 
 ORACLES = {
@@ -920,6 +924,7 @@ ORACLES = {
         sql_rep=SQL_TEXT_REPETITION, sql_seg=SQL_LINE_DEDUP,
         sql_clf=SQL_TEXT_CLASSIFY_QUALITY, sql_smp=SQL_DOMAIN_RESAMPLE,
     ),
+    "text_classify_quality": SQL_TEXT_CLASSIFY_QUALITY,
 }
 
 # local tier: oracle-paired and pytest/check_parity-verified, kept off the
@@ -930,7 +935,6 @@ LOCAL_QUERIES = {
     "line_dedup": line_dedup,
     "domain_resample": domain_resample,
     "text_pii_redact": text_pii_redact,
-    "text_classify_quality": text_classify_quality,
     "text_lm_score": text_lm_score,
 }
 
@@ -941,5 +945,4 @@ LOCAL_ORACLES = {
     "line_dedup": SQL_LINE_DEDUP,
     "domain_resample": SQL_DOMAIN_RESAMPLE,
     "text_pii_redact": SQL_TEXT_PII_REDACT,
-    "text_classify_quality": SQL_TEXT_CLASSIFY_QUALITY,
 }
