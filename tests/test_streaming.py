@@ -511,14 +511,19 @@ def test_stream_neardup_matches_batch_and_dedup_incremental(spark, tmp_path):
     src = tmp_path / "doc_stream"
     docs.filter(is_new).write.parquet(str(src))
 
-    band_index, shingle_sets = stream_neardup.build_index(
-        spark, docs.filter(~is_new)
+    # df_population = the FULL documents table: dedup_incremental counts
+    # boilerplate df over corpus + batch (both derive from `documents`)
+    band_index, shingle_sets, hot_row = stream_neardup.build_index(
+        spark, docs.filter(~is_new), df_population=docs
     )
     band_index = band_index.cache()
     shingle_sets = shingle_sets.cache()
+    hot_row = hot_row.cache()
 
     q = stream_neardup.run_to_memory(
-        stream_neardup.neardup_stream(spark, str(src), band_index, shingle_sets),
+        stream_neardup.neardup_stream(
+            spark, str(src), band_index, shingle_sets, hot_row
+        ),
         name="neardup_t",
     )
     try:
@@ -530,7 +535,7 @@ def test_stream_neardup_matches_batch_and_dedup_incremental(spark, tmp_path):
     want = {
         r["doc_id"]: (r["dup_of"], round(r["jaccard"], 9))
         for r in stream_neardup.neardup_batch(
-            spark, str(src), band_index, shingle_sets
+            spark, str(src), band_index, shingle_sets, hot_row
         ).collect()
     }
     assert got == want
@@ -581,3 +586,88 @@ def test_stream_neardup_signatures_match_pure_python_on_edge_docs(spark):
         for k, (a, b) in enumerate(MINHASH_AB):
             want = min(((h % MINHASH_P) * a + b) % MINHASH_P for h in hs) if hs else None
             assert r[f"mh{k}"] == want, f"doc {i} mh{k}"
+
+
+def test_stream_split_admits_arrivals_into_corpus_clusters(spark, tmp_path):
+    """Ingest-time split admission: (1) stream == batch twin row-for-row;
+    (2) an arrival that near-dup-matches a corpus doc inherits that doc's
+    corpus_split group and split verbatim, unmatched arrivals become
+    singleton groups; (3) on this constructed corpus — arrivals join at
+    most one cluster each, all arrival ids above the component min — the
+    streaming assignment equals a full batch corpus_split re-run
+    bit-for-bit, and the re-run leaves every corpus assignment unchanged
+    (the regime where stable admission and re-computation agree)."""
+    from web_crawler_spark.analytics import dedup
+    from web_crawler_spark.streaming import stream_split
+
+    def doc(vocab: str, n: int = 40, extra: str = "") -> str:
+        base = " ".join(f"{vocab}{i}" for i in range(n))
+        return f"{base} {extra}".strip()
+
+    corpus_rows = [
+        (0, doc("alpha")),                 # cluster A...
+        (1, doc("alpha", extra="tailA")),  # ...near-copy of 0
+        (3, doc("beta")),                  # cluster B...
+        (4, doc("beta", extra="tailB")),   # ...near-copy of 3
+        (7, doc("gamma")),                 # singleton corpus doc
+        (9, doc("delta")),                 # singleton corpus doc
+    ]
+    arrival_rows = [
+        (100, doc("alpha", extra="newA")),   # joins cluster A
+        (102, doc("gamma", extra="newG")),   # joins singleton 7's group
+        (104, doc("omega")),                 # matches nothing -> own group
+    ]
+    full_cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def widen(rows):
+        return [(i, t, "en", "s0", len(t)) for i, t in rows]
+
+    corpus_dir = tmp_path / "corpus"
+    full_dir = tmp_path / "full"
+    src = tmp_path / "arrivals"
+    corpus = spark.createDataFrame(widen(corpus_rows), full_cols)
+    corpus.write.parquet(f"{corpus_dir}/documents.parquet")
+    spark.createDataFrame(
+        widen(corpus_rows + arrival_rows), full_cols
+    ).write.parquet(f"{full_dir}/documents.parquet")
+    spark.createDataFrame(widen(arrival_rows), full_cols).write.parquet(str(src))
+
+    state = stream_split.build_split_state(spark, corpus)
+    state = tuple(df.cache() for df in state)
+
+    q = stream_split.run_to_memory = None  # noqa: F841  (twin uses neardup's)
+    from web_crawler_spark.streaming.stream_neardup import run_to_memory
+
+    q = run_to_memory(
+        stream_split.split_stream(spark, str(src), state), name="split_t"
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["group_id"], r["matched"], r["split"])
+            for r in spark.table("split_t").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        r["doc_id"]: (r["group_id"], r["matched"], r["split"])
+        for r in stream_split.split_batch(spark, str(src), state).collect()
+    }
+    assert got == want  # (1) engine parity
+
+    base = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in dedup.corpus_split(spark, str(corpus_dir)).collect()
+    }
+    assert got[100] == (base[0][0], True, base[0][1])  # inherits cluster A
+    assert got[102] == (base[7][0], True, base[7][1])  # singleton 7's group
+    assert got[104] == (104, False, got[104][2])  # new singleton group
+
+    rerun = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in dedup.corpus_split(spark, str(full_dir)).collect()
+    }
+    for doc_id, (group_id, _m, split) in got.items():  # (3) re-run agreement
+        assert rerun[doc_id] == (group_id, split)
+    for doc_id, assignment in base.items():  # corpus rows never moved
+        assert rerun[doc_id] == assignment

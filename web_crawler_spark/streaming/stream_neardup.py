@@ -53,6 +53,7 @@ from ..analytics.dedup import (
     MINHASH_P,
     N_BANDS,
     ROWS_PER_BAND,
+    SHINGLE_DF_CAP,
 )
 
 DOC_SCHEMA = T.StructType(
@@ -125,30 +126,64 @@ def _bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def build_index(spark: SparkSession, corpus: DataFrame):
+def build_index(spark: SparkSession, corpus: DataFrame, df_population: DataFrame = None):
     """Static admission state from the accepted *corpus* (documents
-    schema): the band index (8 rows/doc) and the per-doc distinct
-    shingle-hash sets the verify stage probes. At 10^10 docs both are
-    incrementally maintained tables bucketed by their join key; here they
-    are the plans that would populate them."""
+    schema): the band index (8 rows/doc), the per-doc distinct
+    shingle-hash sets the verify stage probes, and the boilerplate
+    (df > SHINGLE_DF_CAP) shingle set the verify tier excludes — the
+    streaming mirror of the batch tier's capped `kept` relation. At 10^10
+    docs all three are incrementally maintained tables (the df table is
+    exactly the index metadata the batch docstring names); here they are
+    the plans that would populate them.
+
+    ``df_population`` is the document set the boilerplate df is counted
+    over — defaults to the corpus; the batch/stream parity tests pass the
+    FULL documents table because ``dedup_incremental`` derives both sides
+    from it, so its df counts span corpus + batch."""
     sigs = _signatures(corpus)
     band_index = _bands(sigs).select(
         F.col("doc_id").alias("dup_of"), "band", "band_key"
     )
-    shingle_sets = sigs.select(
-        F.col("doc_id").alias("dup_of"),
-        F.col("sh").alias("sh_old"),
-        F.col("n_sh").alias("n_old"),
+    pop = _signatures(df_population) if df_population is not None else sigs
+    # 1-row array of boilerplate shingle hashes: small by construction
+    # (bounded by total_occurrences / cap), carried to the stream side as a
+    # broadcast 1-row cross join so the per-row array_except stays a
+    # zero-shuffle expression
+    hot_row = (
+        pop.select(F.explode("sh").alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > SHINGLE_DF_CAP)
+        .agg(F.collect_list("h").alias("hot"))
     )
-    return band_index, shingle_sets
+    shingle_sets = sigs.crossJoin(F.broadcast(hot_row)).select(
+        F.col("doc_id").alias("dup_of"),
+        F.expr("array_except(sh, hot)").alias("sh_old"),
+        F.expr("size(array_except(sh, hot))").alias("n_old"),
+    )
+    return band_index, shingle_sets, hot_row
 
 
-def _verdict(docs: DataFrame, band_index: DataFrame, shingle_sets: DataFrame) -> DataFrame:
+def _verdict(
+    docs: DataFrame,
+    band_index: DataFrame,
+    shingle_sets: DataFrame,
+    hot_row: DataFrame,
+) -> DataFrame:
     """Shared plan for both engines: per-row signatures, band probe,
-    candidate-only exact-Jaccard verify, one best-match agg per doc.
-    Duplicate candidates from multi-band collisions are absorbed by the
-    final max — no streaming-hostile dropDuplicates needed."""
-    cand = _bands(_signatures(docs)).join(band_index, ["band", "band_key"])
+    candidate-only exact-Jaccard verify over DISCRIMINATIVE shingles only
+    (boilerplate excluded per `hot_row`, mirroring the batch cap), one
+    best-match agg per doc. Duplicate candidates from multi-band
+    collisions are absorbed by the final max — no streaming-hostile
+    dropDuplicates needed."""
+    cand = (
+        _bands(_signatures(docs))
+        .join(band_index, ["band", "band_key"])
+        .crossJoin(F.broadcast(hot_row))
+        .withColumn("sh", F.expr("array_except(sh, hot)"))
+        .withColumn("n_sh", F.expr("size(sh)"))
+        .drop("hot")
+    )
     n_inter = F.expr("size(array_intersect(sh, sh_old))")
     scored = (
         cand.join(shingle_sets, "dup_of")
@@ -169,18 +204,26 @@ def _verdict(docs: DataFrame, band_index: DataFrame, shingle_sets: DataFrame) ->
 
 
 def neardup_stream(
-    spark: SparkSession, src_dir: str, band_index: DataFrame, shingle_sets: DataFrame
+    spark: SparkSession,
+    src_dir: str,
+    band_index: DataFrame,
+    shingle_sets: DataFrame,
+    hot_row: DataFrame,
 ) -> DataFrame:
     docs = spark.readStream.schema(DOC_SCHEMA).parquet(src_dir)
-    return _verdict(docs, band_index, shingle_sets)
+    return _verdict(docs, band_index, shingle_sets, hot_row)
 
 
 def neardup_batch(
-    spark: SparkSession, src_dir: str, band_index: DataFrame, shingle_sets: DataFrame
+    spark: SparkSession,
+    src_dir: str,
+    band_index: DataFrame,
+    shingle_sets: DataFrame,
+    hot_row: DataFrame,
 ) -> DataFrame:
     """Batch twin over the same source directory — the parity oracle."""
     docs = spark.read.schema(DOC_SCHEMA).parquet(src_dir)
-    return _verdict(docs, band_index, shingle_sets)
+    return _verdict(docs, band_index, shingle_sets, hot_row)
 
 
 def run_to_memory(df: DataFrame, name: str):
