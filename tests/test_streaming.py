@@ -635,7 +635,6 @@ def test_stream_split_admits_arrivals_into_corpus_clusters(spark, tmp_path):
     state = stream_split.build_split_state(spark, corpus)
     state = tuple(df.cache() for df in state)
 
-    q = stream_split.run_to_memory = None  # noqa: F841  (twin uses neardup's)
     from web_crawler_spark.streaming.stream_neardup import run_to_memory
 
     q = run_to_memory(
