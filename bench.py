@@ -84,6 +84,14 @@ HEADLINE = [
     "video_curate",
     "audio_fingerprint_neardup",
     "video_phash_neardup",
+    # round-5 additions: incremental ingest dedup (capped verify),
+    # cluster-coherent split (second run reads the shared session label
+    # snapshot — the production regime next to dedup_clusters), model-based
+    # quality gate, and the multiprobed embedding near-dup pair source
+    "dedup_incremental",
+    "corpus_split",
+    "text_classify_quality",
+    "embed_neardup_lsh",
 ]
 
 

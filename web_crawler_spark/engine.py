@@ -35,7 +35,11 @@ Scale design (the 10^10-frontier story):
   (``global_rank``) — never a single-partition window at scale.
 - the seen anti-join is the dominant shuffle; the broadcast bloom prefilter
   routes definitely-new candidates around it (false positives only cost time —
-  the exact anti-join remains the source of truth).
+  the exact anti-join remains the source of truth). Default-off, cluster-only
+  knob: measured A/Bs (BENCH.md §1, rounds 3+5) show it cannot win in
+  single-JVM local mode even at 90%-novel candidates — the shuffle it skips
+  is a memory copy there; its regime is a multi-node NETWORK exchange over a
+  seen set too large to broadcast.
 - NO mode writes a physical frontier: global/FIFO modes derive pending from
   a single seq watermark; per_host derives it from the ``host_wm`` snapshot
   table (one appended (host, max consumed seq) row per active host per round;
