@@ -457,7 +457,7 @@ def test_text_classify_quality_verdict(spark):
         h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
         return CLF_STOP_BOOST if w in stops else h % CLF_WMOD - half
 
-    rows = {r["doc_id"]: r for r in LOCAL_QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
+    rows = {r["doc_id"]: r for r in QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
     assert len(rows) == 500
     texts = {
         r["doc_id"]: r["text"]
@@ -488,7 +488,7 @@ def test_corpus_pipeline_full_verdict(spark):
     ret = {r["doc_id"]: r["drop_reason"] for r in QUERIES["corpus_retention"](spark, SF_DIR).collect()}
     rep = {r["doc_id"]: r["rep_ok"] for r in LOCAL_QUERIES["text_repetition"](spark, SF_DIR).collect()}
     seg = {r["doc_id"]: r["keep"] for r in LOCAL_QUERIES["line_dedup"](spark, SF_DIR).collect()}
-    clf = {r["doc_id"]: r["keep"] for r in LOCAL_QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
+    clf = {r["doc_id"]: r["keep"] for r in QUERIES["text_classify_quality"](spark, SF_DIR).collect()}
     smp = {r["doc_id"]: r["sampled"] for r in LOCAL_QUERIES["domain_resample"](spark, SF_DIR).collect()}
     seen_reasons = set()
     for doc_id, r in comp.items():
@@ -915,7 +915,7 @@ def test_span_dedup_matches_pure_python_oracle(spark):
 
     from web_crawler_spark.analytics.dedup import SPAN_DUP_RATIO_T, SPAN_G
 
-    span = {r["doc_id"]: r for r in LOCAL_QUERIES["span_dedup"](spark, SF_DIR).collect()}
+    span = {r["doc_id"]: r for r in QUERIES["span_dedup"](spark, SF_DIR).collect()}
     texts = duckdb.sql(f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'").fetchall()
     gram_docs = collections.defaultdict(set)
     doc_grams = {}

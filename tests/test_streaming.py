@@ -463,7 +463,7 @@ def test_stream_spans_matches_batch_and_span_dedup(spark, tmp_path):
     span_dedup's window-plan verdicts doc-for-doc, proving the streaming
     fold formulation of the interval merge against the batch
     gaps-and-islands window."""
-    from web_crawler_spark.analytics import LOCAL_QUERIES
+    from web_crawler_spark.analytics import QUERIES
     from web_crawler_spark.streaming import stream_spans
 
     sf_dir = "/root/testdata/sf0.001"
@@ -489,7 +489,7 @@ def test_stream_spans_matches_batch_and_span_dedup(spark, tmp_path):
     assert got == want and len(got) == docs.count()
 
     # cross-check the fold plan against span_dedup's window plan
-    batch = {r["doc_id"]: key(r) for r in LOCAL_QUERIES["span_dedup"](spark, sf_dir).collect()}
+    batch = {r["doc_id"]: key(r) for r in QUERIES["span_dedup"](spark, sf_dir).collect()}
     assert got == batch
     n_dup = sum(1 for _, _, dt, _, _ in got.values() if dt > 0)
     assert 0 < n_dup < len(got)  # real duplicated passages, not all/none
