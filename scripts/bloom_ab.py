@@ -57,11 +57,11 @@ spark = get_spark(app_name="bloom-ab", master="local[{cpus}]", extra_conf=extra)
 c0 = canary_sec()
 t0 = time.time()
 run = engine.crawl(spark, job, cfg, rules, {storage!r}, budget={budget},
-                   use_bloom={use_bloom})
+                   use_bloom={use_bloom}, use_cuckoo={use_cuckoo})
 wall = time.time() - t0
 c1 = canary_sec()
 urls = run.read(spark, "outcomes").count()
-print("LEG " + json.dumps({{"bloom": {use_bloom}, "wall": round(wall, 1),
+print("LEG " + json.dumps({{"tier": {tier!r}, "wall": round(wall, 1),
                            "urls": urls, "rounds": run.rounds,
                            "canary": [c0, c1]}}))
 """
@@ -74,6 +74,9 @@ def main() -> int:
     ap.add_argument("--universe", type=int, default=4_000_000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--tiers", nargs="*", default=["base", "bloom"],
+                    choices=["base", "bloom", "cuckoo"],
+                    help="prefilter arms to interleave per rep")
     ap.add_argument("--no-broadcast", action="store_true",
                     help="force the shuffle anti-join in both arms (emulates "
                          "a seen set too large to broadcast — the tier's "
@@ -82,13 +85,14 @@ def main() -> int:
 
     legs = []
     for rep in range(args.reps):
-        for use_bloom in (False, True):
+        for tier in args.tiers:
             storage = tempfile.mkdtemp(prefix="bloom_ab_", dir="/dev/shm")
             try:
                 src = _LEG_SRC.format(
                     repo=REPO, universe=args.universe, max_pages=args.max_pages,
                     budget=args.budget, cpus=args.cpus, storage=storage,
-                    use_bloom=use_bloom, no_broadcast=args.no_broadcast,
+                    use_bloom=(tier == "bloom"), use_cuckoo=(tier == "cuckoo"),
+                    tier=tier, no_broadcast=args.no_broadcast,
                 )
                 out = subprocess.run(
                     [sys.executable, "-c", src], capture_output=True, text=True,
@@ -102,23 +106,25 @@ def main() -> int:
                 leg = json.loads(line[-1][4:])
                 leg["rep"] = rep
                 legs.append(leg)
-                print(f"leg rep={rep} bloom={use_bloom}: {leg['wall']}s "
+                print(f"leg rep={rep} tier={tier}: {leg['wall']}s "
                       f"({leg['urls']} urls, {leg['rounds']} rounds, "
                       f"canary {leg['canary']})", file=sys.stderr)
             finally:
                 shutil.rmtree(storage, ignore_errors=True)
 
-    base = min(l["wall"] for l in legs if not l["bloom"])
-    bloom = min(l["wall"] for l in legs if l["bloom"])
-    print(json.dumps({
+    mins = {t: min(l["wall"] for l in legs if l["tier"] == t) for t in args.tiers}
+    out = {
         "workload": {"universe": args.universe, "max_pages": args.max_pages,
                      "budget": args.budget, "cpus": args.cpus,
                      "no_broadcast": args.no_broadcast},
         "legs": legs,
-        "base_min_sec": base,
-        "bloom_min_sec": bloom,
-        "bloom_speedup": round(base / bloom, 3),
-    }))
+        "min_sec_by_tier": mins,
+    }
+    if "base" in mins:
+        out["speedup_vs_base"] = {
+            t: round(mins["base"] / mins[t], 3) for t in args.tiers if t != "base"
+        }
+    print(json.dumps(out))
     return 0
 
 
